@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.GeoOps
+import graft.functions.CellExprs
+import graft.model.Fixtures
+import graft.operators.{Aggs, Ann, ImageOps, SpatialJoins, TextOps}
+import graft.query._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with DuckDB-runnable oracle SQL wherever the semantics are
+ * SQL-expressible (spatial joins included — convex containment compiles to
+ * half-plane arithmetic, tiles to Mercator arithmetic, kNN to a window over
+ * haversine). Derived columns are computed by pure IEEE arithmetic shared
+ * verbatim between Spark and DuckDB so value hashes match exactly.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared input views ----------------------------------------------------
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** b6-style features table derived deterministically from events:
+    * id struct, open tags map, point geometry (lat/lng/cell16). */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    CellExprs.install(spark)
+    Fixtures.points(spark, dir)
+      .withColumn("id", struct(
+        expr("CASE point_id % 3 WHEN 0 THEN 'point' WHEN 1 THEN 'path' ELSE 'area' END").as("ftype"),
+        lit("graft/events").as("ns"),
+        col("point_id").as("value")))
+      .withColumn("tags", map(
+        lit("#amenity"), expr(
+          "CASE event_type WHEN 'click' THEN 'cafe' WHEN 'view' THEN 'bench' " +
+            "WHEN 'purchase' THEN 'restaurant' WHEN 'signup' THEN 'school' ELSE 'fountain' END"),
+        lit("@name"), expr("CASE WHEN point_id % 5 = 0 THEN concat('site-', point_id) ELSE NULL END")))
+  }
+
+  /** Oracle-side amenity derivation (same CASE, over raw events). */
+  private val amenitySql =
+    "(CASE event_type WHEN 'click' THEN 'cafe' WHEN 'view' THEN 'bench' " +
+      "WHEN 'purchase' THEN 'restaurant' WHEN 'signup' THEN 'school' ELSE 'fountain' END)"
+
+  private val ptsCte = s"WITH pts AS (${Fixtures.pointsOracleSql()})"
+
+  /** Flagship query on sf0.001: the point-in-polygon spatial join. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    SpatialJoins.pointInPolygonJoin(
+      Fixtures.points(spark, dir), Fixtures.polygons(spark))
+      .select("point_id", "poly_id")
+  }
+
+  // ---- the operator inventory --------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- query algebra (SURVEY §2.A) --
+    "qa_tagged" -> ((s, d) => QueryPlanner.find(features(s, d), Tagged("#amenity", "cafe"))
+      .select(col("point_id"), col("lat"), col("lng")).orderBy("point_id")),
+    "qa_keyed" -> ((s, d) => QueryPlanner.find(features(s, d), Keyed("@name"))
+      .select(col("point_id"), col("tags").getItem("@name").as("name")).orderBy("point_id")),
+    "qa_typed" -> ((s, d) => QueryPlanner.find(features(s, d), TypedQ("point", Keyed("#amenity")))
+      .select(col("point_id")).orderBy("point_id")),
+    "qa_and_or" -> ((s, d) => QueryPlanner.find(features(s, d),
+      Or(Seq(And(Seq(Tagged("#amenity", "cafe"), Keyed("@name"))), Tagged("#amenity", "fountain"))))
+      .select(col("point_id")).orderBy("point_id")),
+    "qa_token_prefix" -> ((s, d) => QueryPlanner.find(features(s, d), TokenPrefix("@name", "site-1"))
+      .select(col("point_id")).orderBy("point_id")),
+    "qa_keyrange" -> ((s, d) => QueryPlanner.find(features(s, d),
+      And(Seq(KeyRange(1000, 2000), Tagged("#amenity", "restaurant"))))
+      .select(col("point_id")).orderBy("point_id")),
+    "qa_intersects_cap" -> ((s, d) => QueryPlanner.find(features(s, d),
+      IntersectsCap(51.5353, -0.1258, 900.0))
+      .select(col("point_id")).orderBy("point_id")),
+    "qa_intersects_geom" -> ((s, d) => {
+      val wkb = GeoOps.toWkb(GeoOps.fromWkt(
+        "POLYGON ((-0.13 51.53, -0.12 51.529, -0.115 51.536, -0.124 51.541, -0.132 51.537, -0.13 51.53))"))
+      QueryPlanner.find(features(s, d), IntersectsGeom(wkb))
+        .select(col("point_id")).orderBy("point_id")
+    }),
+
+    // -- spatial joins (SURVEY §2.B joins + §7.6) --
+    "sj_pip" -> ((s, d) => SpatialJoins.pointInPolygonJoin(
+      Fixtures.points(s, d), Fixtures.polygons(s))
+      .select(col("point_id"), col("poly_id")).orderBy("point_id", "poly_id")),
+    "sj_pip_rect" -> ((s, d) => {
+      val p = Fixtures.points(s, d)
+      p.join(broadcast(Fixtures.rectsDf(s)),
+        col("lat") >= col("lat_lo") && col("lat") < col("lat_hi") &&
+          col("lng") >= col("lng_lo") && col("lng") < col("lng_hi"))
+        .select(col("point_id"), col("rect_id")).orderBy("point_id", "rect_id")
+    }),
+    "sj_knn" -> ((s, d) => SpatialJoins.knnJoin(Fixtures.points(s, d), Fixtures.sites(s), 3)
+      .select(col("site_id"), col("rank").cast("long").as("rank"), col("point_id"))
+      .orderBy("site_id", "rank")),
+    "sj_tile" -> ((s, d) => SpatialJoins.tileAssignment(Fixtures.points(s, d), 14)
+      .groupBy(col("tile_xx").as("tx"), col("tile_yy").as("ty"))
+      .agg(count(lit(1)).as("n")).orderBy("tx", "ty")),
+    "sj_cap_agg" -> ((s, d) => SpatialJoins.withinCap(Fixtures.points(s, d), 51.5353, -0.1258, 1500.0)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).orderBy("event_type")),
+
+    // -- aggregations (SURVEY §2.B aggregations) --
+    "ag_count_values" -> ((s, d) => Aggs.countValues(t(s, d, "events"), "event_type")
+      .orderBy("event_type")),
+    "ag_sum_by_key" -> ((s, d) => Aggs.sumByKey(t(s, d, "lineitem"), "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag")),
+    "ag_top" -> ((s, d) => Aggs.top(t(s, d, "orders"), "o_totalprice", 10, "o_orderkey")
+      .select("o_orderkey", "o_totalprice")),
+    "ag_take" -> ((s, d) => Aggs.take(t(s, d, "orders"), 20, "o_orderkey")
+      .select("o_orderkey", "o_orderstatus")),
+    "ag_percentiles" -> ((s, d) => Aggs.percentiles(t(s, d, "lineitem"), "l_quantity")
+      .select(col("l_quantity"), col("percentile")).distinct().orderBy("l_quantity")),
+    "ag_hist_uniform" -> ((s, d) => Aggs.histogramUniform(t(s, d, "lineitem"), "l_quantity")
+      .select(col("bucket").cast("long").as("bucket"), col("lo"), col("hi"), col("n"))
+      .orderBy("bucket")),
+    "ag_hist_categorical" -> ((s, d) => Aggs.histogramCategorical(t(s, d, "documents"), "source")
+      .orderBy("bucket")),
+    "ag_count_valid_keys" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      Aggs.countValidKeys(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left"),
+        "c_custkey", col("o_orderstatus") === "O")
+        .orderBy("c_custkey")
+    }),
+
+    // -- collection ops (SURVEY §2.B set ops / projections) --
+    "co_join_missing" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val base = o.where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("base").as("src"))
+      val joined = o.where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), lit("joined").as("src"))
+      Aggs.joinMissing(base, joined, "o_orderkey").orderBy("o_orderkey", "src")
+    }),
+    "co_flatten" -> ((s, d) => Aggs.flatten(
+      t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("words")),
+      "words", "word")
+      .groupBy("word").agg(count(lit(1)).as("n")).orderBy("word")),
+
+    // -- training-data text ops --
+    "td_token_count" -> ((s, d) => TextOps.tokenCount(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")).orderBy("doc_id")),
+    "td_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"), "text")
+      .select("doc_id", "lang_pred").orderBy("doc_id")),
+    "td_quality" -> ((s, d) => TextOps.quality(t(s, d, "documents"), "text")
+      .select("doc_id", "quality").orderBy("doc_id")),
+    "td_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("content_hash")),
+    "td_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"), "text")
+      .select("doc_id", "fingerprint").orderBy("doc_id")),
+    "td_minhash_pairs" -> ((s, d) => TextOps.dedupMinhashLsh(
+      t(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")),
+    "td_simhash" -> ((s, d) => TextOps.simhash(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")),
+    "td_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardJoin(
+      t(s, d, "documents"), "doc_id", "text", k = 5, threshold = 0.2)
+      .orderBy("id_a", "id_b")),
+
+    // -- similarity search --
+    "ann_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosineTopK(e, q, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+        .orderBy("qid", "rank")
+    }),
+    "ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosineLsh(e, q, 5, bits = 6, tables = 8)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+        .orderBy("qid", "rank")
+    }),
+
+    // -- multimodal (images decoded once; plumbing real, payload synthetic) --
+    "mm_decode" -> ((s, d) => {
+      val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
+      ImageOps.decodeFeatures(Fixtures.images(s, n)).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("fmt"),
+          col("psnr_db") >= 40.0 as "psnr_ok", col("decoded_ok"))
+        .orderBy("image_id")
+    }),
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------------
+
+  private def hav(lat2: String, lng2: String) =
+    Fixtures.haversineSql("p.lat", "p.lng", lat2, lng2)
+
+  def oracleSql: Map[String, String] = Map(
+    "qa_tagged" ->
+      s"$ptsCte SELECT point_id, lat, lng FROM pts p WHERE p.event_type = 'click' ORDER BY point_id",
+    "qa_keyed" ->
+      s"SELECT event_id AS point_id, concat('site-', CAST(event_id AS VARCHAR)) AS name FROM events WHERE event_id % 5 = 0 ORDER BY point_id",
+    "qa_typed" ->
+      s"SELECT event_id AS point_id FROM events WHERE event_id % 3 = 0 ORDER BY point_id",
+    "qa_and_or" ->
+      s"SELECT event_id AS point_id FROM events WHERE (($amenitySql = 'cafe' AND event_id % 5 = 0) OR $amenitySql = 'fountain') ORDER BY point_id",
+    "qa_token_prefix" ->
+      s"SELECT event_id AS point_id FROM events WHERE event_id % 5 = 0 AND concat('site-', CAST(event_id AS VARCHAR)) LIKE 'site-1%' ORDER BY point_id",
+    "qa_keyrange" ->
+      s"SELECT event_id AS point_id FROM events WHERE event_id >= 1000 AND event_id < 2000 AND $amenitySql = 'restaurant' ORDER BY point_id",
+    "qa_intersects_cap" ->
+      s"$ptsCte SELECT point_id FROM pts p WHERE ${hav("51.5353", "-0.1258")} < 900.0 ORDER BY point_id",
+    "qa_intersects_geom" -> {
+      val ring = Fixtures.convexPolygons.head._3
+      val edges = ring.indices.map { i =>
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+        s"(($x2 - $x1) * (p.lat - $y1) - ($y2 - $y1) * (p.lng - $x1)) >= 0"
+      }
+      s"$ptsCte SELECT point_id FROM pts p WHERE ${edges.mkString(" AND ")} ORDER BY point_id"
+    },
+
+    "sj_pip" -> Fixtures.pipOracleSql,
+    "sj_pip_rect" ->
+      (s"$ptsCte SELECT point_id, rect_id FROM pts p JOIN ${Fixtures.rectsValuesSql} ON " +
+        "p.lat >= r.lat_lo AND p.lat < r.lat_hi AND p.lng >= r.lng_lo AND p.lng < r.lng_hi " +
+        "ORDER BY point_id, rect_id"),
+    "sj_knn" ->
+      s"""$ptsCte, scored AS (
+         |  SELECT s.site_id, p.point_id,
+         |    ${Fixtures.haversineSql("p.lat", "p.lng", "s.site_lat", "s.site_lng")} AS dist
+         |  FROM pts p CROSS JOIN ${Fixtures.sitesValuesSql})
+         |SELECT site_id, CAST(row_number() OVER (PARTITION BY site_id ORDER BY dist, point_id) AS BIGINT) AS rank, point_id
+         |FROM scored QUALIFY rank <= 3 ORDER BY site_id, rank""".stripMargin,
+    "sj_tile" ->
+      s"""$ptsCte SELECT
+         |  CAST(floor((p.lng + 180.0) / 360.0 * 16384.0) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(p.lat)) + sqrt(tan(radians(p.lat)) * tan(radians(p.lat)) + 1.0)) / pi()) / 2.0 * 16384.0) AS BIGINT) AS ty,
+         |  count(*) AS n
+         |FROM pts p GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin,
+    "sj_cap_agg" ->
+      s"$ptsCte SELECT p.event_type, count(*) AS n FROM pts p WHERE ${hav("51.5353", "-0.1258")} < 1500.0 GROUP BY 1 ORDER BY event_type",
+
+    "ag_count_values" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY event_type",
+    "ag_sum_by_key" ->
+      "SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_value FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+    "ag_top" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "ag_take" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 20",
+    "ag_percentiles" ->
+      """SELECT DISTINCT l_quantity,
+        | CAST(rank() OVER (ORDER BY l_quantity) - 1 AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS percentile
+        |FROM lineitem ORDER BY l_quantity""".stripMargin,
+    "ag_hist_uniform" ->
+      """WITH vals AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1),
+        |ranked AS (SELECT v, c, row_number() OVER (ORDER BY v) - 1 AS r, count(*) OVER () AS d FROM vals),
+        |edges AS (SELECT *, (d // 6) AS e1,
+        |  (d // 6) + ((d - (d // 6)) // 5) AS e2 FROM ranked),
+        |edges2 AS (SELECT *, e2 + ((d - e2) // 4) AS e3 FROM edges),
+        |edges3 AS (SELECT *, e3 + ((d - e3) // 3) AS e4 FROM edges2),
+        |edges4 AS (SELECT *, e4 + ((d - e4) // 2) AS e5 FROM edges3),
+        |bucketed AS (SELECT v, c,
+        |  CAST(CASE WHEN d <= 6 THEN r
+        |       WHEN r < e1 THEN 0 WHEN r < e2 THEN 1 WHEN r < e3 THEN 2
+        |       WHEN r < e4 THEN 3 WHEN r < e5 THEN 4 ELSE 5 END AS BIGINT) AS bucket
+        |  FROM edges4)
+        |SELECT bucket, min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS n
+        |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "ag_hist_categorical" ->
+      """WITH counts AS (SELECT source AS v, count(*) AS c FROM documents GROUP BY 1),
+        |ranked AS (SELECT v, c, row_number() OVER (ORDER BY c DESC, v) - 1 AS r, count(*) OVER () AS d FROM counts)
+        |SELECT CASE WHEN d <= 6 OR r < 5 THEN v ELSE 'other' END AS bucket, CAST(sum(c) AS BIGINT) AS n
+        |FROM ranked GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "ag_count_valid_keys" ->
+      """SELECT c_custkey, CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_valid
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "co_join_missing" ->
+      """WITH base AS (SELECT o_orderkey, 'base' AS src FROM orders WHERE o_orderstatus = 'O'),
+        |joined AS (SELECT o_orderkey, 'joined' AS src FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT * FROM base
+        |UNION ALL SELECT * FROM joined WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+        |ORDER BY o_orderkey, src""".stripMargin,
+    "co_flatten" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "td_token_count" ->
+      s"SELECT doc_id, CAST(${TextOps.tokenCountSql("text")} AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    "td_lang_id" ->
+      s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
+    "td_quality" ->
+      s"SELECT doc_id, ${TextOps.qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
+    "td_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY 1 ORDER BY content_hash",
+    // td_fingerprint / td_minhash_pairs / td_simhash / td_ngram_jaccard /
+    // ann_topk / ann_lsh / mm_decode: not ANSI-SQL-expressible (rolling hashes,
+    // LSH banding, float top-k, binary decode) — rows-only check; exactness is
+    // covered by the ScalaTest brute-force oracles instead.
+  )
 }

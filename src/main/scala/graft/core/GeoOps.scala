@@ -1,0 +1,185 @@
+package graft.core
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/**
+ * Geometry scalar functions matching the reference's observable semantics:
+ *  - great-circle distances use earth radius 6_371_010 m
+ *    (reference: src/diagonal.works/b6/units/units.go:7-15);
+ *  - area/centroid/length via JTS (jts-core ships with the Spark image);
+ *  - Web-Mercator XYZ tile math mirroring src/diagonal.works/b6/tiles.go:202-343.
+ *
+ * Static, allocation-light methods usable from Catalyst codegen.
+ */
+object GeoOps {
+  val EarthRadiusMeters: Double = 6371010.0
+
+  def haversineMeters(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = math.toRadians(lat2 - lat1); val dl = math.toRadians(lng2 - lng1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2.0 * EarthRadiusMeters * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  // ---- Web-Mercator XYZ tiles ----------------------------------------------
+
+  /** Tile x at zoom; pure arithmetic (identical in any IEEE engine). */
+  def tileX(lng: Double, zoom: Int): Long = {
+    val n = (1L << zoom).toDouble
+    val v = math.floor((lng + 180.0) / 360.0 * n).toLong
+    val max = (1L << zoom) - 1
+    if (v < 0) 0L else if (v > max) max else v
+  }
+
+  /** Tile y at zoom (Web-Mercator). */
+  def tileY(lat: Double, zoom: Int): Long = {
+    val n = (1L << zoom).toDouble
+    val latR = math.toRadians(lat)
+    val v = math.floor((1.0 - asinh(math.tan(latR)) / math.Pi) / 2.0 * n).toLong
+    val max = (1L << zoom) - 1
+    if (v < 0) 0L else if (v > max) max else v
+  }
+
+  @inline private def asinh(v: Double): Double = math.log(v + math.sqrt(v * v + 1.0))
+
+  /** Packed tile id: (z << 58) | (x << 29) | y. Positive for z <= 29. */
+  def tileId(zoom: Int, x: Long, y: Long): Long = (zoom.toLong << 58) | (x << 29) | y
+  def tileIdZ(id: Long): Int = (id >>> 58).toInt
+  def tileIdX(id: Long): Long = (id >>> 29) & ((1L << 29) - 1)
+  def tileIdY(id: Long): Long = id & ((1L << 29) - 1)
+
+  /**
+   * Tiles covering a lat/lng bbox at `zoom` — inclusive tile range over the
+   * projected corners, mirroring CoverCellIDWithTiles
+   * (src/diagonal.works/b6/tiles.go:259-294).
+   */
+  def tileCoverBBox(latLo: Double, lngLo: Double, latHi: Double, lngHi: Double, zoom: Int): Array[Long] = {
+    val x0 = tileX(lngLo, zoom); val x1 = tileX(lngHi, zoom)
+    val y0 = tileY(latHi, zoom); val y1 = tileY(latLo, zoom) // y grows southward
+    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0; var yy = y0
+    while (yy <= y1) {
+      var xx = x0
+      while (xx <= x1) { out(i) = tileId(zoom, xx, yy); i += 1; xx += 1 }
+      yy += 1
+    }
+    out
+  }
+
+  // ---- JTS plumbing --------------------------------------------------------
+
+  val factory = new GeometryFactory(new PrecisionModel(), 4326)
+  private val wkbWriterTL = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  private val wkbReaderTL = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wktReaderTL = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriterTL = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  def toWkb(g: Geometry): Array[Byte] = wkbWriterTL.get.write(g)
+  def fromWkb(b: Array[Byte]): Geometry = wkbReaderTL.get.read(b)
+  def fromWkt(s: String): Geometry = wktReaderTL.get.read(s)
+  def toWkt(g: Geometry): String = wktWriterTL.get.write(g)
+
+  def point(lat: Double, lng: Double): Point =
+    factory.createPoint(new Coordinate(lng, lat)) // JTS is (x=lng, y=lat)
+
+  def prepare(g: Geometry): PreparedGeometry = PreparedGeometryFactory.prepare(g)
+
+  /**
+   * Per-thread LRU of prepared geometries keyed by WKB bytes. In a spatial
+   * join the (small) geometry side repeats per probe row; preparing once makes
+   * the exact refine test ~constant after the first hit per task.
+   */
+  private val prepCache = ThreadLocal.withInitial[java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry]](() =>
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, PreparedGeometry](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, PreparedGeometry]): Boolean =
+        size() > 512
+    })
+
+  def prepared(wkb: Array[Byte]): PreparedGeometry = {
+    val cache = prepCache.get
+    val key = java.nio.ByteBuffer.wrap(wkb)
+    var p = cache.get(key)
+    if (p == null) { p = prepare(fromWkb(wkb)); cache.put(key, p) }
+    p
+  }
+
+  /** covers (boundary-inclusive containment) of a lat/lng point by a WKB geometry. */
+  def wkbCoversPoint(wkb: Array[Byte], lat: Double, lng: Double): Boolean =
+    prepared(wkb).covers(point(lat, lng))
+
+  /** exact intersection of two WKB geometries (refine step of intersection joins). */
+  def wkbIntersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    prepared(a).intersects(fromWkb(b))
+
+  /** Polyline length in meters: sum of haversine segment lengths. */
+  def wkbLengthMeters(wkb: Array[Byte]): Double = {
+    val cs = fromWkb(wkb).getCoordinates
+    var s = 0.0; var i = 1
+    while (i < cs.length) {
+      s += haversineMeters(cs(i - 1).y, cs(i - 1).x, cs(i).y, cs(i).x); i += 1
+    }
+    s
+  }
+
+  def envelope(g: Geometry): Envelope = g.getEnvelopeInternal
+
+  // ---- region coverer ------------------------------------------------------
+
+  /**
+   * Covering of a geometry: disjoint cells whose union contains the geometry,
+   * with at most `maxCells` cells, none finer than `maxLevel`. Greedy quadtree
+   * refinement: repeatedly split the coarsest cell while the (filtered) result
+   * stays within budget. Mirrors the role of b6.Covering
+   * (src/diagonal.works/b6/world.go:848-866; MaxLevel 16, MaxCells 5 defaults
+   * at search/spatial.go:10,:30).
+   */
+  def covering(g: Geometry, maxLevel: Int, maxCells: Int): Array[Long] = {
+    val env = g.getEnvelopeInternal
+    val prep = prepare(g)
+    // smallest single cell containing the bbox = common ancestor of corner cells
+    var seed = commonAncestor(
+      Cells.cellOf(env.getMinY, env.getMinX, Cells.MaxLevel),
+      Cells.cellOf(env.getMaxY, env.getMaxX, Cells.MaxLevel))
+    if (Cells.level(seed) > maxLevel) seed = Cells.parentAt(seed, maxLevel)
+    var cur: Vector[Long] = Vector(seed)
+    var progress = true
+    while (progress) {
+      progress = false
+      // split the coarsest cell whose children keep us within budget
+      val idx = cur.indices.minBy(i => Cells.level(cur(i)))
+      val cell = cur(idx)
+      if (Cells.level(cell) < maxLevel) {
+        val kids = Cells.children(cell).filter(c => cellIntersects(prep, c))
+        if (cur.size - 1 + kids.length <= maxCells && kids.nonEmpty) {
+          cur = (cur.patch(idx, Nil, 1) ++ kids)
+          // stop if every cell is at maxLevel
+          progress = cur.exists(c => Cells.level(c) < maxLevel)
+        }
+      }
+    }
+    cur.sorted.toArray
+  }
+
+  def coveringWkb(wkb: Array[Byte], maxLevel: Int, maxCells: Int): Array[Long] =
+    covering(fromWkb(wkb), maxLevel, maxCells)
+
+  def cellIntersects(prep: PreparedGeometry, cell: Long): Boolean = {
+    val e = new Envelope(Cells.lngLo(cell), Cells.lngHi(cell), Cells.latLo(cell), Cells.latHi(cell))
+    prep.intersects(factory.toGeometry(e))
+  }
+
+  def commonAncestor(a: Long, b: Long): Long = {
+    var l = math.min(Cells.level(a), Cells.level(b))
+    while (l > 0 && Cells.parentAt(a, l) != Cells.parentAt(b, l)) l -= 1
+    Cells.parentAt(a, l)
+  }
+
+  /** Tiles covering a WKB geometry at `zoom` (bbox-based, per reference tile cover). */
+  def tileCoverWkb(wkb: Array[Byte], zoom: Int): Array[Long] = {
+    val env = fromWkb(wkb).getEnvelopeInternal
+    tileCoverBBox(env.getMinY, env.getMinX, env.getMaxY, env.getMaxX, zoom)
+  }
+}

@@ -1,0 +1,314 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Cells, GeoOps}
+import graft.functions.CellExprs
+
+/**
+ * Deterministic fixtures derived from the driver-generated testdata.
+ *
+ * The spatial-point side ("images" in the north rule) is derived from the
+ * `events` parquet table by pure IEEE arithmetic, expressed as a SINGLE SQL
+ * string that both Spark (`expr(...)`) and the DuckDB oracle evaluate — only
+ * +,-,*,CASE and % over exact integers are used, so the derived doubles are
+ * bit-identical across engines and the driver's hash compare is exact.
+ *
+ * ~30% of points collapse into one hot micro-cluster (deliberate skew, for
+ * salting / AQE skew handling — mirrors hot-cell skew at 10^12-image scale).
+ *
+ * The polygon-feature side mirrors the reference's area features
+ * (src/diagonal.works/b6/world.go:1070-1075): convex polygons are emitted both
+ * as JTS/WKB rows (engine side) and as half-plane inequality SQL (oracle side).
+ */
+object Fixtures {
+
+  // ---- points (the image+caption table's spatial columns) -------------------
+
+  val latSql: String =
+    "(CASE WHEN event_id % 10 < 3 THEN 51.5353 + CAST(event_id % 97 AS DOUBLE) * 0.0000011 " +
+      "ELSE 51.46 + CAST(event_id % 2000 AS DOUBLE) * 0.0000517 + CAST(user_id % 193 AS DOUBLE) * 0.000311 END)"
+  val lngSql: String =
+    "(CASE WHEN event_id % 10 < 3 THEN -0.1258 + CAST(event_id % 89 AS DOUBLE) * 0.0000013 " +
+      "ELSE -0.21 + CAST(event_id % 1777 AS DOUBLE) * 0.0000523 + CAST(user_id % 211 AS DOUBLE) * 0.000307 END)"
+
+  /** DuckDB-side view of the derived points. */
+  def pointsOracleSql(dir: String = ""): String =
+    s"SELECT event_id AS point_id, $latSql AS lat, $lngSql AS lng, event_type FROM events"
+
+  /** Spark-side derived points: (point_id, lat, lng, event_type, cell16). */
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    CellExprs.install(spark)
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        col("event_id").as("point_id"),
+        expr(latSql).as("lat"),
+        expr(lngSql).as("lng"),
+        col("event_type"))
+      .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+  }
+
+  // ---- polygon features ------------------------------------------------------
+
+  /** (lng, lat) vertex rings, counter-clockwise, convex. Inside the point bbox
+    * lat [51.46, 51.63] x lng [-0.21, -0.052]; poly 1 contains the hot cluster. */
+  val convexPolygons: Seq[(Long, String, Seq[(Double, Double)])] = Seq(
+    // big polygon over the hot cluster (skew stress)
+    (1L, "park", Seq((-0.1300, 51.5300), (-0.1200, 51.5290), (-0.1150, 51.5360), (-0.1240, 51.5410), (-0.1320, 51.5370))),
+    // mid-size squares over the diffuse region
+    (2L, "building", Seq((-0.1900, 51.4700), (-0.1700, 51.4700), (-0.1700, 51.4900), (-0.1900, 51.4900))),
+    (3L, "park", Seq((-0.1100, 51.5500), (-0.0800, 51.5500), (-0.0800, 51.5900), (-0.1100, 51.5900))),
+    (4L, "pitch", Seq((-0.2050, 51.6000), (-0.1750, 51.5950), (-0.1700, 51.6150), (-0.2000, 51.6200))),
+    // tiny polygon (few / zero matches)
+    (5L, "building", Seq((-0.0600, 51.4650), (-0.0580, 51.4650), (-0.0580, 51.4670), (-0.0600, 51.4670))),
+    // huge polygon spanning many cells (covering stress)
+    (6L, "park", Seq((-0.2100, 51.4600), (-0.0530, 51.4620), (-0.0550, 51.6250), (-0.2080, 51.6230))),
+  )
+
+  /** Concave polygon + multipolygon — exercised by ScalaTest (JTS brute-force
+    * oracle), not by the SQL oracle. */
+  val concaveWkts: Seq[(Long, String)] = Seq(
+    (101L, "POLYGON ((-0.18 51.50, -0.10 51.50, -0.10 51.56, -0.14 51.52, -0.18 51.56, -0.18 51.50))"),
+    (102L, "MULTIPOLYGON (((-0.09 51.47, -0.07 51.47, -0.07 51.49, -0.09 51.49, -0.09 51.47)), " +
+      "((-0.20 51.57, -0.18 51.57, -0.18 51.59, -0.20 51.59, -0.20 51.57)))"),
+  )
+
+  private def ringToWkt(ring: Seq[(Double, Double)]): String = {
+    val closed = ring :+ ring.head
+    closed.map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+  }
+
+  /** Engine-side polygon feature table: (poly_id, tag, geom wkb, covering). */
+  def polygons(spark: SparkSession, maxLevel: Int = 16, maxCells: Int = 5,
+               includeConcave: Boolean = false): DataFrame = {
+    CellExprs.install(spark)
+    val rows = convexPolygons.map { case (id, tag, ring) => (id, tag, ringToWkt(ring)) } ++
+      (if (includeConcave) concaveWkts.map { case (id, w) => (id, "concave", w) } else Nil)
+    val data = rows.map { case (id, tag, wkt) =>
+      val g = GeoOps.fromWkt(wkt)
+      (id, tag, GeoOps.toWkb(g))
+    }
+    import spark.implicits._
+    data.toDF("poly_id", "tag", "geom")
+      .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(maxLevel), lit(maxCells)))
+  }
+
+  /** Oracle-side: point-in-polygon via half-plane inequalities over the SAME
+    * literal vertices (boundary-inclusive, like JTS `covers`). `p` is the
+    * points relation alias providing lat/lng columns. */
+  def pipOracleSql: String = {
+    val pts = pointsOracleSql()
+    val perPoly = convexPolygons.map { case (id, _, ring) =>
+      val edges = ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.size)
+        s"(($x2 - $x1) * (p.lat - $y1) - ($y2 - $y1) * (p.lng - $x1)) >= 0"
+      }
+      s"SELECT p.point_id, CAST($id AS BIGINT) AS poly_id FROM pts p WHERE ${edges.mkString(" AND ")}"
+    }
+    s"WITH pts AS ($pts) ${perPoly.mkString(" UNION ALL ")} ORDER BY point_id, poly_id"
+  }
+
+  // ---- kNN sites -------------------------------------------------------------
+
+  val knnSites: Seq[(Long, Double, Double)] = Seq(
+    (1L, 51.5355123, -0.1256311),  // in the hot cluster
+    (2L, 51.4801234, -0.1901222),
+    (3L, 51.5701567, -0.0950789),
+    (4L, 51.6101890, -0.1850456),
+    (5L, 51.4651201, -0.0601934),
+  )
+
+  def sites(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    knnSites.toDF("site_id", "site_lat", "site_lng")
+  }
+
+  /** Typed to BIGINT/DOUBLE explicitly — DuckDB VALUES default to INT/DECIMAL,
+    * which would break schema/hash comparison against the Spark output. */
+  def sitesValuesSql: String =
+    knnSites.map { case (id, la, ln) =>
+      s"(CAST($id AS BIGINT), CAST($la AS DOUBLE), CAST($ln AS DOUBLE))" }
+      .mkString("(VALUES ", ", ", ") AS s(site_id, site_lat, site_lng)")
+
+  /** Shared haversine SQL (b6 earth radius 6371010 m — units/units.go:7). Both
+    * engines provide radians/sin/cos/asin/sqrt/least with <=1ulp differences. */
+  def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"(2.0 * 6371010.0 * asin(least(1.0, sqrt(" +
+      s"sin(radians(($lat2) - ($lat1)) / 2) * sin(radians(($lat2) - ($lat1)) / 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"sin(radians(($lng2) - ($lng1)) / 2) * sin(radians(($lng2) - ($lng1)) / 2)))))"
+
+  // ---- rectangles (cap/range fixtures) ----------------------------------------
+
+  val rects: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    // (rect_id, latLo, latHi, lngLo, lngHi)
+    (1L, 51.530, 51.540, -0.130, -0.120),
+    (2L, 51.470, 51.510, -0.200, -0.150),
+    (3L, 51.600, 51.625, -0.210, -0.160),
+  )
+
+  def rectsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rects.toDF("rect_id", "lat_lo", "lat_hi", "lng_lo", "lng_hi")
+  }
+
+  def rectsValuesSql: String =
+    rects.map { case (id, a, b, c, d) =>
+      s"(CAST($id AS BIGINT), CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($c AS DOUBLE), CAST($d AS DOUBLE))" }
+      .mkString("(VALUES ", ", ", ") AS r(rect_id, lat_lo, lat_hi, lng_lo, lng_hi)")
+
+  // ---- the images table (north-rule input_hint schema) ------------------------
+
+  /** splitmix64 — the seeded hash behind phash and pixel noise. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val widths = Array(64, 128, 256)
+  private val heights = Array(64, 96, 256)
+  private val fmts = Array("ppm", "png")
+  private val words = Array("granary", "square", "camden", "market", "canal",
+    "fountain", "bridge", "bike", "park", "building")
+
+  /** Deterministic RGB pixels for image i: gradient + phash-seeded noise. */
+  def pixels(i: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    val ph = splitmix64(i)
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val noise = splitmix64(ph ^ (y.toLong * w + x))
+        out(idx) = ((x * 255 / math.max(1, w - 1)) ^ (noise & 0x0f)).toByte
+        out(idx + 1) = ((y * 255 / math.max(1, h - 1)) ^ ((noise >>> 8) & 0x0f)).toByte
+        out(idx + 2) = (((x + y) * 255 / math.max(1, w + h - 2)) ^ ((noise >>> 16) & 0x0f)).toByte
+        idx += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode pixels: PPM (P6) exactly; PNG via ImageIO (lossless). */
+  def encode(pix: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = fmt match {
+    case "ppm" =>
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pix.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pix, 0, out, header.length, pix.length)
+      out
+    case "png" =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0; var idx = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = pix(idx) & 0xff; val g = pix(idx + 1) & 0xff; val b = pix(idx + 2) & 0xff
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          idx += 3; x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+  }
+
+  /** Decode back to raw RGB (the "decode-once" step of the pipeline). */
+  def decode(bytes: Array[Byte], fmt: String): (Int, Int, Array[Byte]) = fmt match {
+    case "ppm" =>
+      val s = new String(bytes, 0, math.min(bytes.length, 32), "US-ASCII")
+      val parts = s.split("\\s+")
+      val w = parts(1).toInt; val h = parts(2).toInt
+      val headerLen = bytes.indexOf('\n'.toByte,
+        bytes.indexOf('\n'.toByte, bytes.indexOf('\n'.toByte) + 1) + 1) + 1
+      (w, h, java.util.Arrays.copyOfRange(bytes, headerLen, headerLen + w * h * 3))
+    case "png" =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var y = 0; var idx = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(idx) = ((rgb >> 16) & 0xff).toByte
+          out(idx + 1) = ((rgb >> 8) & 0xff).toByte
+          out(idx + 2) = (rgb & 0xff).toByte
+          idx += 3; x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+  }
+
+  def caption(i: Long): String = {
+    val a = words((splitmix64(i * 31 + 1) % words.length).toInt.abs)
+    val b = words((splitmix64(i * 31 + 2) % words.length).toInt.abs)
+    s"caption $i $a $b"
+  }
+
+  case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
+                      fmt: String, caption: String, phash: Long)
+
+  def imageRow(i: Long): ImageRow = {
+    val w = widths((i % widths.length).toInt)
+    val h = heights((i % heights.length).toInt)
+    val fmt = fmts((i % fmts.length).toInt)
+    ImageRow(f"img-$i%012d", encode(pixels(i, w, h), w, h, fmt), w, h, fmt,
+      caption(i), splitmix64(i))
+  }
+
+  /**
+   * The north-rule input table, generated distributed (one task per range
+   * partition, no driver materialisation): columns exactly per input_hint —
+   * (image_id, bytes, w, h, fmt, caption, phash) — plus derived lat/lng/cell16
+   * (phash-seeded cluster mixture with a hot cell, like the points above).
+   */
+  /**
+   * Metadata-only variant for spatial-throughput benchmarks: same schema minus
+   * `bytes` (at 10^12 scale the engine's columnar scan prunes `bytes` for
+   * join/tile stages anyway — this generator stands in for that pruned scan).
+   */
+  def imagesMeta(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    CellExprs.install(spark)
+    spark.range(0, n, 1, partitions)
+      .select(
+        format_string("img-%012d", col("id")).as("image_id"),
+        (col("id") % 3).cast("int").as("w_idx"),
+        col("id").as("i"))
+      .withColumn("phash", expr(
+        // splitmix64 in SQL arithmetic would need unsigned ops; a xxhash64 of
+        // the index is an equivalent deterministic 64-bit mix here
+        "xxhash64(i)"))
+      .withColumn("caption", concat(lit("caption "), col("i")))
+      .withColumn("lat", expr(
+        "CASE WHEN pmod(phash, 10) < 3 THEN 51.5353 + CAST(pmod(phash, 97) AS DOUBLE) * 0.0000011 " +
+          "ELSE 51.46 + CAST(pmod(phash, 20000) AS DOUBLE) * 0.00000817 END"))
+      .withColumn("lng", expr(
+        "CASE WHEN pmod(phash, 10) < 3 THEN -0.1258 + CAST(pmod(phash, 89) AS DOUBLE) * 0.0000013 " +
+          "ELSE -0.21 + CAST(pmod(phash, 17770) AS DOUBLE) * 0.00000823 END"))
+      .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .drop("i", "w_idx")
+  }
+
+  def images(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    CellExprs.install(spark)
+    import spark.implicits._
+    val ds = spark.range(0, n, 1, partitions).map(i => imageRow(i))
+    ds.toDF()
+      .withColumn("lat", expr(
+        "CASE WHEN pmod(phash, 10) < 3 THEN 51.5353 + CAST(pmod(phash, 97) AS DOUBLE) * 0.0000011 " +
+          "ELSE 51.46 + CAST(pmod(phash, 20000) AS DOUBLE) * 0.00000817 END"))
+      .withColumn("lng", expr(
+        "CASE WHEN pmod(phash, 10) < 3 THEN -0.1258 + CAST(pmod(phash, 89) AS DOUBLE) * 0.0000013 " +
+          "ELSE -0.21 + CAST(pmod(phash, 17770) AS DOUBLE) * 0.00000823 END"))
+      .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+  }
+}

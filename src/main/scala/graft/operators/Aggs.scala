@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataflow aggregations with the reference's exact semantics
+ * (src/diagonal.works/b6/api/functions/collections.go, math.go, api/histogram.go).
+ * All are plain declarative Dataset ops — partial aggregation, AQE and
+ * whole-stage codegen apply untouched.
+ */
+object Aggs {
+
+  /** count-values (collections.go:303-326): value -> occurrence count. */
+  def countValues(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+
+  /** count-keys (collections.go:329-352). */
+  def countKeys(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+
+  /** sum-by-key (collections.go:278-300). */
+  def sumByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(sum(col(valueCol)).as("sum_value"))
+
+  /** count-valid-keys (collections.go:356-387): per key, count of valid values —
+    * zero-preserving (keys with no valid value still appear with 0). */
+  def countValidKeys(df: DataFrame, keyCol: String, validCol: Column): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sum(when(validCol, 1L).otherwise(0L)).as("n_valid"))
+
+  /** top (collections.go:125-213): n largest by value; deterministic tiebreak
+    * on the key column. Spark plans this as TakeOrderedAndProject (no full sort). */
+  def top(df: DataFrame, valueCol: String, n: Int, tieBreak: String): DataFrame =
+    df.orderBy(col(valueCol).desc, col(tieBreak)).limit(n)
+
+  /** take (collections.go:71-122): first n in key order. */
+  def take(df: DataFrame, n: Int, orderCol: String): DataFrame =
+    df.orderBy(col(orderCol)).limit(n)
+
+  /**
+   * percentiles (math.go:85-115): sort ascending; each value maps to
+   * firstIndexOfThatValue / n — i.e. (rank() - 1) / count(*), ties sharing the
+   * first index.
+   */
+  def percentiles(df: DataFrame, valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(valueCol))
+    val n = df.count()
+    df.withColumn("percentile",
+      (rank().over(w) - lit(1)).cast("double") / lit(n.toDouble))
+  }
+
+  /**
+   * histogram, numeric case (api/histogram.go:245-300 `uniform`):
+   * distinct values sorted ascending; if <= 6 distinct, one bucket per value;
+   * else greedily: bucket_size = remaining / (6 - bucketsSoFar) DISTINCT values
+   * per bucket, half-open [lo, hi), last bucket open-ended. Returns
+   * (bucket, lo, hi, n) with element counts per bucket.
+   *
+   * Fully distributed: the distinct set is aggregated, ranked, bucketed by the
+   * greedy formula (a closed form over D = distinct count), then element
+   * counts roll up — no driver-side value list.
+   */
+  def histogramUniform(df: DataFrame, valueCol: String, maxBuckets: Int = 6): DataFrame = {
+    require(maxBuckets == 6, "reference semantics fix MaxHistogramBuckets=6")
+    val vals = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val ranked = vals.select(col("v"), col("c"),
+      (row_number().over(Window.orderBy(col("v"))) - 1).as("r"),
+      count(lit(1)).over().as("d"))
+    // greedy closed form: e1 = d/6; e_{i+1} = e_i + (d - e_i)/(6-i)  (int div)
+    val bucketed = ranked
+      .withColumn("e1", expr("d div 6"))
+      .withColumn("e2", expr("e1 + (d - e1) div 5"))
+      .withColumn("e3", expr("e2 + (d - e2) div 4"))
+      .withColumn("e4", expr("e3 + (d - e3) div 3"))
+      .withColumn("e5", expr("e4 + (d - e4) div 2"))
+      .withColumn("bucket", expr(
+        """CASE WHEN d <= 6 THEN r
+          |     WHEN r < e1 THEN 0 WHEN r < e2 THEN 1 WHEN r < e3 THEN 2
+          |     WHEN r < e4 THEN 3 WHEN r < e5 THEN 4 ELSE 5 END""".stripMargin))
+    bucketed.groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), sum(col("c")).as("n"))
+  }
+
+  /**
+   * histogram, categorical case (api/histogram.go:245-262): order values by
+   * count descending; top 5 keep their own bucket, the rest collapse into
+   * "other" (only when there are > 6 distinct values; with <= 6 every value
+   * keeps its bucket). Ties broken by value for determinism (the reference
+   * uses an unstable sort there).
+   */
+  def histogramCategorical(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol).cast("string").as("v")).agg(count(lit(1)).as("c"))
+    val ranked = counts.select(col("v"), col("c"),
+      (row_number().over(Window.orderBy(col("c").desc, col("v"))) - 1).as("r"),
+      count(lit(1)).over().as("d"))
+    val labeled = ranked.withColumn("bucket",
+      when(col("d") <= 6 || col("r") < 5, col("v")).otherwise(lit("other")))
+    labeled.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+  }
+
+  /** join-missing (collections.go:485-583): base rows plus joined rows whose
+    * key is absent from base (right-anti union). */
+  def joinMissing(base: DataFrame, joined: DataFrame, keyCol: String): DataFrame =
+    base.unionByName(joined.join(base.select(col(keyCol)), Seq(keyCol), "left_anti"))
+
+  /** flatten (collections.go:389-444): concatenate nested collections. */
+  def flatten(df: DataFrame, arrayCol: String, as: String): DataFrame =
+    df.withColumn(as, explode(col(arrayCol))).drop(arrayCol)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.Fixtures
+
+/**
+ * Multimodal (image) column plumbing: the binary `bytes` column is decoded
+ * exactly once per row inside one mapPartitions pass (decode-once discipline
+ * from the north rule), producing typed metadata + features; caption passes
+ * through untouched (byte-equality invariant).
+ *
+ * Codecs: PPM and PNG decode for real (pure JVM); other formats would be
+ * stubbed behind the same interface. PSNR is computed against the
+ * deterministic reference pixels for the row (lossless codecs -> capped 99 dB).
+ */
+object ImageOps {
+
+  case class ImageFeatures(
+      image_id: String, w: Int, h: Int, fmt: String, caption: String,
+      phash: Long, psnr_db: Double, mean_r: Double, mean_g: Double, mean_b: Double,
+      decoded_ok: Boolean)
+
+  def psnr(ref: Array[Byte], got: Array[Byte]): Double = {
+    if (ref.length != got.length || ref.length == 0) return 0.0
+    var se = 0.0
+    var i = 0
+    while (i < ref.length) {
+      val d = (ref(i) & 0xff) - (got(i) & 0xff)
+      se += d.toDouble * d.toDouble
+      i += 1
+    }
+    if (se == 0.0) 99.0
+    else 10.0 * math.log10(255.0 * 255.0 * ref.length / se)
+  }
+
+  /** Nearest-neighbor resize on a raw RGB buffer (pure JVM, deterministic). */
+  def resize(pix: Array[Byte], w: Int, h: Int, nw: Int, nh: Int): Array[Byte] = {
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = y * h / nh
+      var x = 0
+      while (x < nw) {
+        val sx = x * w / nw
+        val si = (sy * w + sx) * 3; val di = (y * nw + x) * 3
+        out(di) = pix(si); out(di + 1) = pix(si + 1); out(di + 2) = pix(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * Decode-once feature extraction over the images table
+   * (image_id, bytes, w, h, fmt, caption, phash). One mapPartitions pass;
+   * bytes never leave the task, only compact features shuffle afterwards.
+   */
+  def decodeFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .as[(String, Array[Byte], Int, Int, String, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, w, h, fmt, cap, phash) =>
+          try {
+            val (dw, dh, pix) = Fixtures.decode(bytes, fmt)
+            // reference pixels for this row are regenerated deterministically
+            val i = id.stripPrefix("img-").toLong
+            val ref = Fixtures.pixels(i, dw, dh)
+            var r = 0L; var g = 0L; var b = 0L
+            var j = 0
+            while (j < pix.length) {
+              r += pix(j) & 0xff; g += pix(j + 1) & 0xff; b += pix(j + 2) & 0xff
+              j += 3
+            }
+            val n = math.max(1, pix.length / 3).toDouble
+            ImageFeatures(id, dw, dh, fmt, cap, phash, psnr(ref, pix),
+              r / n, g / n, b / n, decoded_ok = dw == w && dh == h)
+          } catch {
+            case _: Throwable =>
+              ImageFeatures(id, w, h, fmt, cap, phash, 0.0, 0, 0, 0, decoded_ok = false)
+          }
+        }
+      }
+  }
+}

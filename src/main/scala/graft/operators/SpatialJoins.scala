@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Cells, GeoOps}
+import graft.functions.CellExprs._
+
+/**
+ * The north-star spatial operators, Spark-first.
+ *
+ * Join shape mirrors the reference's spatial index duality
+ * (src/diagonal.works/b6/search/spatial.go:65-113): polygon features are keyed
+ * by their covering cells; a point's candidate polygons are those whose
+ * covering contains one of the point's ancestors. We realise it as a pure
+ * equi-join: explode the (small) polygon covering, compute the distinct
+ * covering levels (a <=30-element set, one tiny job), emit per point one join
+ * key per such level, then refine exactly with JTS. Catalyst/AQE then picks
+ * broadcast vs sort-merge and splits skewed cells.
+ */
+object SpatialJoins {
+
+  /**
+   * Point-in-polygon join.
+   * points: must have (lat, lng, cell16) columns; polygons: (geom wkb, covering).
+   * Returns points columns + polygon columns for each containment
+   * (boundary-inclusive `covers`, matching the reference's ContainsPoint refine,
+   * src/diagonal.works/b6/api/functions/features.go:49-105).
+   */
+  def pointInPolygonJoin(points: DataFrame, polygons: DataFrame,
+                         pointCell: String = "cell16",
+                         geomCol: String = "geom",
+                         coveringCol: String = "covering"): DataFrame = {
+    val polyCells = polygons.withColumn("__jcell", explode(col(coveringCol)))
+    // Distinct covering levels: bounded by MaxLevel+1=30 values; computed on the
+    // (small) polygon side so the big point side needs exactly one pass.
+    val levels: Array[Int] = polyCells
+      .select(cell_level(col("__jcell")).as("l")).distinct().collect().map(_.getInt(0)).sorted
+    val keyed = points.withColumn("__jcell",
+      explode(array(levels.map(l => cell_parent_at(col(pointCell), lit(l))): _*)))
+    keyed.join(polyCells, "__jcell")
+      .where(wkb_covers_point(col(geomCol), col("lat"), col("lng")))
+      .drop("__jcell")
+  }
+
+  /**
+   * Geometry-intersection join (polyline/polygon features vs polygon query
+   * geometries): candidate pairs via covering-cell overlap at a common level,
+   * refined by exact JTS intersects — the IntersectsPolygon/IntersectsPolyline
+   * semantics of src/diagonal.works/b6/spatial.go:509-711.
+   */
+  def intersectionJoin(left: DataFrame, right: DataFrame,
+                       leftGeom: String = "geom", rightGeom: String = "geom",
+                       level: Int = 12): DataFrame = {
+    val l = left.withColumn("__lc", explode(cell_covering(col(leftGeom), lit(level), lit(64))))
+      .withColumn("__lc", cell_parent_at(col("__lc"), lit(level) /* normalise */))
+    val r = right.withColumn("__rc", explode(cell_covering(col(rightGeom), lit(level), lit(64))))
+      .withColumn("__rc", cell_parent_at(col("__rc"), lit(level)))
+    l.join(r, col("__lc") === col("__rc"))
+      .where(wkb_intersects(col(leftGeom), col(rightGeom)))
+      .drop("__lc", "__rc")
+      .dropDuplicates()
+  }
+
+  /**
+   * kNN join: for each site (small side), the k nearest points by haversine.
+   * Neighbor-ring expansion (the reference's expanding closest-search,
+   * src/diagonal.works/b6/api/functions/graph.go:402-446, geodesic variant):
+   * candidates come from grid disks of growing Chebyshev radius around each
+   * site at `level`; expansion stops when every site's k-th best distance is
+   * provably <= the minimum distance to any cell outside its disk — so results
+   * are EXACT, while only a small neighborhood of the big table is scanned.
+   */
+  def knnJoin(points: DataFrame, sites: DataFrame, k: Int, level: Int = 10,
+              pointCell: String = "cell16",
+              siteLat: String = "site_lat", siteLng: String = "site_lng"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    val metersPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
+    val degPerCell = 180.0 / (1L << level).toDouble
+
+    val pCellAtLevel = cell_parent_at(col(pointCell), lit(level))
+    val pts = points.withColumn("__pc", pCellAtLevel)
+
+    var ring = 1 // disk radius of the CURRENT candidate set
+    var done = false
+    var result: DataFrame = null
+    while (!done) {
+      val siteCells = sites
+        .withColumn("__sc", explode(cell_neighbor_disk(
+          cell_of(col(siteLat), col(siteLng), lit(level)), lit(ring))))
+      val cand = pts.join(broadcast(siteCells), col("__pc") === col("__sc"))
+        .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
+      val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
+      val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      // guarantee: any point outside disk `ring` is >= ring * minCellDim away.
+      // min cell dimension at the site's latitude (lng shrinks by cos(lat)).
+      val guarantees = top.groupBy(col("site_id"))
+        .agg(max(col("__dist")).as("kth"), count(lit(1)).as("n"), first(col(siteLat)).as("slat"))
+        .withColumn("minDim", least(
+          lit(degPerCell * metersPerDegLat),
+          abs(cos(radians(col("slat")))) * lit(2.0 * degPerCell * metersPerDegLat)))
+        .withColumn("ok", col("n") === k && col("kth") <= lit(ring.toDouble) * col("minDim"))
+      val sitesTotal = sites.count()
+      val okCount = guarantees.where(col("ok")).count()
+      val gridExhausted = ring >= (1L << level)
+      if (okCount == sitesTotal || gridExhausted) {
+        result = top.drop("__pc", "__sc")
+        done = true
+      } else {
+        ring *= 2
+      }
+    }
+    result
+  }
+
+  /**
+   * Raster<->vector tile assignment for points at `zoom` — the reference's
+   * Mercator XYZ tiling (src/diagonal.works/b6/tiles.go:202-343). Pure
+   * arithmetic on the scan; no shuffle until the per-tile aggregation.
+   */
+  def tileAssignment(points: DataFrame, zoom: Int,
+                     latCol: String = "lat", lngCol: String = "lng"): DataFrame =
+    points
+      .withColumn("tile_z", lit(zoom))
+      .withColumn("tile_xx", tile_x(col(lngCol), lit(zoom)))
+      .withColumn("tile_yy", tile_y(col(latCol), lit(zoom)))
+
+  /** Tile cover of polygon features at `zoom`: explode the per-geometry tile
+    * range (CoverCellUnionWithTiles semantics, tiles.go:284-300). */
+  def tileCoverJoin(polygons: DataFrame, zoom: Int, geomCol: String = "geom"): DataFrame =
+    polygons.withColumn("tile", explode(tile_cover(col(geomCol), lit(zoom))))
+
+  /** Cap (centre+radius) containment — IntersectsCap for points
+    * (src/diagonal.works/b6/spatial.go:203-371). */
+  def withinCap(points: DataFrame, lat: Double, lng: Double, radiusMeters: Double): DataFrame =
+    points.where(haversine_m(col("lat"), col("lng"), lit(lat), lit(lng)) < lit(radiusMeters))
+
+  /**
+   * Salted repartition helper for skewed hot cells: appends a salt column
+   * 0..(factor-1) derived from a stable hash of `saltBy`, so one hot cell
+   * spreads over `factor` reducers. Use before cell-keyed aggregations.
+   */
+  def salted(df: DataFrame, cellCol: String, factor: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(cellCol), monotonically_increasing_id()), lit(factor)))
+}

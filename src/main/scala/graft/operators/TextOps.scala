@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis + deduplication operators for a training-data pipeline over a
+ * `documents(doc_id, text, ...)` table. Everything is built from codegen'd
+ * built-in functions (no Scala UDFs): shingling/minhash/simhash use
+ * transform/aggregate/zip_with over token arrays, so the whole map side stays
+ * inside whole-stage codegen and scales linearly with no shuffle until the
+ * band/bucket join.
+ *
+ * The shared SQL fragments (occurrence counts via length-difference) are pure
+ * string arithmetic, so the DuckDB oracle computes bit-identical values.
+ */
+object TextOps {
+
+  /** #occurrences of literal `pat` in `col` — shared Spark/DuckDB fragment. */
+  def occSql(c: String, pat: String): String = {
+    val q = pat.replace("'", "''")
+    s"CAST((length($c) - length(replace($c, '$q', ''))) / ${pat.length} AS BIGINT)"
+  }
+
+  /** whitespace token count for single-spaced text — shared fragment. */
+  def tokenCountSql(c: String): String =
+    s"(CASE WHEN length($c) = 0 THEN 0 ELSE (length($c) - length(replace($c, ' ', ''))) + 1 END)"
+
+  /** language-ID n-gram/stopword heuristic — shared fragment (returns a score
+    * per language and an argmax CASE). Deterministic, arithmetic-only. */
+  def langIdSql(c: String): String = {
+    val en = s"(${occSql(c, " the ")} * 3 + ${occSql(c, " a ")} * 2)"
+    val es = s"(${occSql(c, " el ")} * 3 + ${occSql(c, " la ")} * 2)"
+    val fr = s"(${occSql(c, " le ")} * 3 + ${occSql(c, " et ")} * 2)"
+    val de = s"(${occSql(c, " der ")} * 3 + ${occSql(c, " und ")} * 2)"
+    s"""(CASE
+       | WHEN $en >= $es AND $en >= $fr AND $en >= $de AND $en > 0 THEN 'en'
+       | WHEN $es >= $fr AND $es >= $de AND $es > 0 THEN 'es'
+       | WHEN $fr >= $de AND $fr > 0 THEN 'fr'
+       | WHEN $de > 0 THEN 'de'
+       | ELSE 'unknown' END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** quality score: length/punctuation/stopword ratios — shared fragment.
+    * Returns a double in [0, ~3]; arithmetic-only so oracle-exact. */
+  def qualitySql(c: String): String = {
+    val toks = tokenCountSql(c)
+    val stop = s"(${occSql(c, " the ")} + ${occSql(c, " a ")} + ${occSql(c, " and ")})"
+    val punct = s"(${occSql(c, ".")} + ${occSql(c, ",")} + ${occSql(c, "!")})"
+    s"""(CASE WHEN length($c) = 0 THEN 0.0 ELSE
+       | least(1.0, CAST(length($c) AS DOUBLE) / 500.0)
+       | + least(1.0, CAST($stop AS DOUBLE) * 10.0 / CAST($toks AS DOUBLE))
+       | + (1.0 - least(1.0, CAST($punct AS DOUBLE) * 5.0 / CAST($toks AS DOUBLE)))
+       | END)""".stripMargin.replace("\n", " ")
+  }
+
+  def tokenCount(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", expr(tokenCountSql(textCol)))
+
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", expr(langIdSql(textCol)))
+
+  def quality(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality", expr(qualitySql(textCol)))
+
+  /** Rolling polynomial fingerprint (document fingerprinting): hash of the
+    * token stream, order-sensitive, mod 2^61-1. Built from aggregate() over
+    * the token array — no UDF. */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // acc = xxhash64(acc, token): order-sensitive rolling chain, overflow-free
+    // under ANSI mode (unlike polynomial mul-add)
+    df.withColumn("fingerprint",
+      aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t)))
+  }
+
+  // ---- deduplication ---------------------------------------------------------
+
+  /** Exact dedup: keep the smallest id per identical content (hash-groupBy). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Word k-shingles of the text (ordered n-grams as strings). */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - k,
+          array_join(slice(toks, i + 1, lit(k)), " "))),
+      x => x.isNotNull))
+  }
+
+  /**
+   * MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle),
+   * i = 0..numHashes-1. Pure built-ins — transform over a seed sequence with a
+   * nested array_min.
+   */
+  def minhashSignature(df: DataFrame, textCol: String, k: Int = 3,
+                       numHashes: Int = 32): DataFrame = {
+    val sh = shingles(col(textCol), k)
+    df.withColumn("__shingles", sh)
+      .withColumn("minhash",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("__shingles"), s => xxhash64(i, s)))))
+      .drop("__shingles")
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs: band the signature (bands x rowsPerBand =
+   * numHashes), bucket-join on (band, bandHash), verify candidates with exact
+   * shingle-set Jaccard >= threshold. Shuffle only on band hashes; candidate
+   * verification stays pairwise within buckets. Returns (id_a, id_b, jaccard)
+   * with id_a < id_b.
+   */
+  def dedupMinhashLsh(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = minhashSignature(df, textCol, k, numHashes)
+      .withColumn("__sh", shingles(col(textCol), k))
+      .select(col(idCol).as("__id"), col("minhash"), col("__sh"))
+    val banded = withSig.withColumn("band", explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("b"), xxhash64(b, slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("h")))))
+      .select(col("__id"), col("__sh"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash (64-bit): per token-hash bit, +1/-1 vote; signature bit b set when
+    * the vote sum is positive. Hamming-adjacent docs are near-dups. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val votes = aggregate(toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (x, y) => x + y))
+    df.withColumn("simhash",
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(63)),
+          (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)))
+      .select(col(idCol), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by 4 x 16-bit sub-keys (any pair within
+    * Hamming distance <= 3 shares at least one), verify exact popcount. */
+  def dedupSimhash(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.withColumn("band", explode(
+      transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("b"),
+          call_function("shiftright", col("simhash"), b.cast("int") * 16).bitwiseAND(lit(0xffffL)).as("k")))))
+    val a = banded.select(col("band.b").as("bb"), col("band.k").as("bk"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band.b").as("bb"), col("band.k").as("bk"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("bb", "bk")).where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity join over candidate pairs (all pairs of
+    * docs sharing at least one shingle; use LSH variant at scale). */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+    val inverted = withSh.withColumn("s", explode(col("__sh")))
+    val a = inverted.select(col("s"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val b = inverted.select(col("s"), col("__id").as("id_b"), col("__sh").as("sh_b"))
+    a.join(b, "s").where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

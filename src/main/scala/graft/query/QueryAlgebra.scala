@@ -1,0 +1,87 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CellExprs
+import graft.operators.SpatialJoins
+
+/**
+ * The reference's query algebra (src/diagonal.works/b6/search.go + spatial.go)
+ * as a sealed ADT compiled to Catalyst `Column` predicates over a features
+ * table with columns:
+ *   id struct(ftype string, ns string, value long), tags map<string,string>,
+ *   lat double, lng double, cell16 long [, geom binary, covering array<long>]
+ *
+ * Tag-key conventions match b6 (b6/search.go:107-114): '#' keys are indexed
+ * key=value, '@' keys by key only — here both live in the `tags` map and the
+ * distinction shows up in which predicates the planner will push to the scan
+ * (map-key filters prune row groups once hot keys are promoted to columns).
+ *
+ * Non-spatial queries compile to pure predicates (Catalyst pushes them down);
+ * spatial queries compile to covering-join plans via `find`.
+ */
+sealed trait Query {
+  /** Exact post-filter, the analogue of b6's Query.Matches. */
+  def toColumn: Column
+}
+
+case object All extends Query { def toColumn: Column = lit(true) }
+case object Empty extends Query { def toColumn: Column = lit(false) }
+
+case class Tagged(key: String, value: String) extends Query {
+  def toColumn: Column = col("tags").getItem(key) === value
+}
+case class Keyed(key: String) extends Query {
+  def toColumn: Column = col("tags").getItem(key).isNotNull
+}
+case class TypedQ(ftype: String, q: Query) extends Query {
+  def toColumn: Column = col("id.ftype") === ftype && q.toColumn
+}
+case class And(qs: Seq[Query]) extends Query {
+  def toColumn: Column = qs.map(_.toColumn).reduce(_ && _)
+}
+case class Or(qs: Seq[Query]) extends Query {
+  def toColumn: Column = qs.map(_.toColumn).reduce(_ || _)
+}
+case object IsValid extends Query {
+  def toColumn: Column = col("id.value") >= 0 && col("id.ns") =!= ""
+}
+case class KeyRange(lo: Long, hi: Long) extends Query {
+  def toColumn: Column = col("id.value") >= lo && col("id.value") < hi
+}
+case class TokenPrefix(key: String, prefix: String) extends Query {
+  def toColumn: Column = col("tags").getItem(key).startsWith(prefix)
+}
+case class IntersectsCap(lat: Double, lng: Double, radiusMeters: Double) extends Query {
+  def toColumn: Column =
+    CellExprs.haversine_m(col("lat"), col("lng"), lit(lat), lit(lng)) < lit(radiusMeters)
+}
+/** Point-in-polygon against a literal WKB geometry (IntersectsPoint inverted:
+  * features whose location falls inside the geometry). */
+case class IntersectsGeom(wkb: Array[Byte]) extends Query {
+  def toColumn: Column = CellExprs.wkb_covers_point(lit(wkb), col("lat"), col("lng"))
+}
+
+object QueryPlanner {
+  /**
+   * b6 `find`: features matching the query. Non-spatial predicates are plain
+   * pushdown filters; IntersectsGeom additionally pre-prunes by the covering
+   * cells of the geometry before the exact test (the s2:/a2: token rewrite of
+   * search/spatial.go:65-83, realised as an ancestor-cell semi-filter).
+   */
+  def find(features: DataFrame, q: Query): DataFrame = q match {
+    case IntersectsGeom(wkb) =>
+      val cover = graft.core.GeoOps.coveringWkb(wkb, 16, 8)
+      val levels = cover.map(c => graft.core.Cells.level(c)).distinct.sorted
+      val anc = array(levels.map(l =>
+        CellExprs.cell_parent_at(col("cell16"), lit(l))): _*)
+      features
+        .where(arrays_overlap(anc, typedLit(cover.toSeq)))
+        .where(q.toColumn)
+    case And(qs) if qs.exists(_.isInstanceOf[IntersectsGeom]) =>
+      val (spatial, rest) = qs.partition(_.isInstanceOf[IntersectsGeom])
+      val base = if (rest.isEmpty) features else features.where(And(rest).toColumn)
+      spatial.foldLeft(base) { (df, s) => find(df, s) }
+    case other => features.where(other.toColumn)
+  }
+}

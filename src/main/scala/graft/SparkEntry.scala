@@ -173,7 +173,7 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.cosineLsh(e, q, 5, bits = 6, tables = 8)
+      Ann.cosineLsh(e, q, 5, bits = 5, tables = 16)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
         .orderBy("qid", "rank")
     }),

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old canal bridge"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old canal bridge today"), // near-dup of 1
+    (3L, "a completely different document about spark joins and shuffles and skew"),
+    (4L, "le chat et le chien et le poisson dans le jardin"),
+    (5L, "der hund und der vogel und der fisch im garten"),
+    (6L, "the quick brown fox jumps over the lazy dog near the old canal bridge"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("dedupExact groups identical content, keeps min id") {
+    val got = TextOps.dedupExact(docs, "doc_id", "text")
+      .select("keep_id", "n_dupes").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds the near-dup and exact-dup pairs, not unrelated docs") {
+    val pairs = TextOps.dedupMinhashLsh(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 6L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 6L)), "near dup must be found")
+    assert(!pairs.exists(p => Set(p._1, p._2).intersect(Set(3L, 4L, 5L)).nonEmpty),
+      "unrelated docs must not pair")
+  }
+
+  test("minhash jaccard estimate equals exact shingle jaccard on verification") {
+    val pairs = TextOps.dedupMinhashLsh(docs, "doc_id", "text", k = 3, threshold = 0.0)
+      .where(col("id_a") === 1L && col("id_b") === 6L).collect()
+    assert(pairs.length == 1 && pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small, unrelated large") {
+    val sig = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(6L))
+    val hammingNear = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    val hammingFar = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hammingNear < hammingFar, s"near=$hammingNear far=$hammingFar")
+  }
+
+  test("ngramJaccardJoin returns exact jaccard") {
+    val got = TextOps.ngramJaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 6L)) && got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = TextOps.fingerprint(
+      Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
+  }
+
+  test("langId picks the language with the strongest stopword score") {
+    val got = TextOps.langId(docs, "text").select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(4L) == "fr" && got(5L) == "de")
+  }
+
+  test("tokenCount counts single-spaced tokens") {
+    val got = TextOps.tokenCount(Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0))
+  }
+}

@@ -178,6 +178,96 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // -- graph reachability (SURVEY §2.B graph operators) --
+    "gr_reachable" -> ((s, d) => {
+      import s.implicits._
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
+      val origins = Seq(0L, 450L, 899L).toDF("origin")
+      graft.operators.Graph.reachable(edges, origins, 1200.0)
+        .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"))
+        .orderBy("origin", "node")
+    }),
+    "gr_closest" -> ((s, d) => {
+      import s.implicits._
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
+      val origins = Seq(0L, 450L, 899L).toDF("origin")
+      val targets = Seq(155L, 310L, 465L, 620L, 775L).toDF("target")
+      graft.operators.Graph.closest(edges, origins, targets, 2500.0)
+        .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"))
+        .orderBy("origin")
+    }),
+
+    "gr_degree" -> ((s, d) => {
+      // degree (features.go:212-219): segments meeting at each node
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
+      edges.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("degree"))
+        .orderBy("node_id")
+    }),
+
+    // -- map/filter plane (map.go:12-67, collections.go:215-274) --
+    "co_map_filter" -> ((s, d) => Fixtures.points(s, d)
+      .withColumn("score", col("lat") * 2.0 + col("lng"))
+      .where(col("score") > 102.9)
+      .select(col("point_id"), col("score")).orderBy("point_id")),
+
+    // -- convex hull / reachable-area (geometry.go:207-232, graph.go:503-519) --
+    "geo_hull" -> ((s, d) => {
+      import s.implicits._
+      val inCap = graft.operators.SpatialJoins.withinCap(
+        Fixtures.points(s, d), 51.5353, -0.1258, 2000.0)
+      val pts = inCap.select("lat", "lng").as[(Double, Double)]
+      val hull = pts.rdd.mapPartitions { it =>
+        // partial hulls per partition, merged on the driver (tiny)
+        val coords = it.map { case (la, lo) => GeoOps.point(la, lo).getCoordinate }.toArray
+        if (coords.isEmpty) Iterator.empty
+        else Iterator(GeoOps.toWkb(GeoOps.factory.createMultiPointFromCoords(coords).convexHull()))
+      }.collect()
+      val merged = graft.functions.GeoFunctions.convexHullAll(hull.toSeq)
+      val g = GeoOps.fromWkb(merged)
+      Seq((GeoOps.toWkt(g), g.getCoordinates.length.toLong,
+        graft.functions.GeoFunctions.areaM2(g))).toDF("hull_wkt", "n_vertices", "area_m2")
+    }),
+
+    // -- vector-tile feature ids (FNV-1, api/tiles.go:10-32) --
+    "sj_tile_fid" -> ((s, d) => {
+      val fid = udf((pid: Long) =>
+        graft.functions.TileIds.tileFeatureId(0L, "graft/events", pid))
+      Fixtures.points(s, d).select(col("point_id"), fid(col("point_id")).as("fid"))
+        .orderBy("point_id")
+    }),
+
+    // -- world overlay + mutation plane --
+    "w_overlay" -> ((s, d) => {
+      val f = features(s, d).select(col("point_id"),
+        col("tags").getItem("#amenity").as("amenity"))
+      val delta = f.where(col("point_id") % 7 === 0)
+        .withColumn("amenity", lit("modified"))
+      graft.operators.Worlds.overlay(f, delta, Seq("point_id"))
+        .orderBy("point_id")
+    }),
+    "w_add_tag" -> ((s, d) => {
+      val f = graft.operators.Worlds.addTag(features(s, d), "#status",
+        concat(lit("st-"), col("point_id") % 4))
+      QueryPlanner.find(f, Keyed("#status"))
+        .select(col("point_id"), col("tags").getItem("#status").as("status"))
+        .orderBy("point_id")
+    }),
+
+    // -- geometry scalar functions --
+    "geo_scalar" -> ((s, d) => {
+      graft.functions.GeoFunctions.install(s)
+      Fixtures.polygons(s)
+        .select(col("poly_id"),
+          round(graft.functions.GeoFunctions.area_m2(col("geom")), 1).as("area_m2"),
+          round(graft.functions.GeoFunctions.centroid_lat(col("geom")), 7).as("c_lat"),
+          round(graft.functions.GeoFunctions.centroid_lng(col("geom")), 7).as("c_lng"))
+        .orderBy("poly_id")
+    }),
+
+    // -- event-time windowed aggregation (streaming-equivalent batch plan) --
+    "ag_time_window" -> ((s, d) => graft.streaming.Streaming.windowedEventCounts(
+      t(s, d, "events")).orderBy("wstart", "event_type")),
+
     // -- multimodal (images decoded once; plumbing real, payload synthetic) --
     "mm_decode" -> ((s, d) => {
       val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
@@ -294,6 +384,19 @@ object SparkEntry {
       s"SELECT doc_id, ${TextOps.qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
     "td_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY 1 ORDER BY content_hash",
+    "w_overlay" ->
+      s"SELECT event_id AS point_id, CASE WHEN event_id % 7 = 0 THEN 'modified' ELSE $amenitySql END AS amenity FROM events ORDER BY point_id",
+    "w_add_tag" ->
+      "SELECT event_id AS point_id, concat('st-', CAST(event_id % 4 AS VARCHAR)) AS status FROM events ORDER BY point_id",
+    "ag_time_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+        | count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "co_map_filter" ->
+      s"$ptsCte SELECT point_id, p.lat * 2.0 + p.lng AS score FROM pts p WHERE p.lat * 2.0 + p.lng > 102.9 ORDER BY point_id",
+    // gr_reachable / gr_closest / geo_scalar: iterative shortest paths and JTS
+    // geometry are not ANSI-SQL-expressible — rows-only; exactness covered by
+    // the ScalaTest Dijkstra / shoelace oracles.
     // td_fingerprint / td_minhash_pairs / td_simhash / td_ngram_jaccard /
     // ann_topk / ann_lsh / mm_decode: not ANSI-SQL-expressible (rolling hashes,
     // LSH banding, float top-k, binary decode) — rows-only check; exactness is

@@ -1,0 +1,102 @@
+package graft.checkpoint
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/**
+ * Snapshot-checkpointed table commits — the resumability layer of the north
+ * rule ("every stage resumable from snapshot checkpoints with per-partition
+ * lineage and row-count/byte metrics").
+ *
+ * No Iceberg runtime jar ships in this environment, so this is an honest
+ * Iceberg-LIKE layer over Parquet: each commit writes data to an immutable
+ * `data/<snapshotId>/` directory, collects row counts via `observe()` and
+ * per-partition file metrics, writes a manifest JSON, and atomically renames
+ * `_snapshots/<n>.json.tmp` -> `.json` (the commit point, mirroring the
+ * reference's canary-overlay transactional apply,
+ * src/diagonal.works/b6/ingest/change.go:158-184).
+ *
+ * Resume: `latest()` returns the last committed snapshot; a stage whose
+ * snapshot exists is skipped and its output read back — so a killed pipeline
+ * restarts from the last commit, not from zero.
+ */
+object Snapshots {
+
+  case class Snapshot(id: Long, table: String, dataPath: String, rows: Long,
+                      bytes: Long, files: Int, lineage: Seq[String])
+
+  private def snapsDir(root: String): Path = Paths.get(root, "_snapshots")
+
+  def latest(root: String): Option[Snapshot] = {
+    val dir = snapsDir(root)
+    if (!Files.exists(dir)) return None
+    val ids = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).toSeq
+    ids.sorted.lastOption.map(id => read(root, id))
+  }
+
+  def read(root: String, id: Long): Snapshot = {
+    val json = Files.readString(snapsDir(root).resolve(s"$id.json"))
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"[^\"]*\"|[0-9]+)").r.findFirstMatchIn(json)
+      m.map(_.group(1).stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+    }
+    val lineage = "\"lineage\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    Snapshot(field("id").toLong, field("table"), field("dataPath"),
+      field("rows").toLong, field("bytes").toLong, field("files").toInt, lineage)
+  }
+
+  /**
+   * Commit `df` as the next snapshot of `root`. Returns the snapshot. The data
+   * write and metric collection happen BEFORE the manifest rename; a crash at
+   * any earlier point leaves the previous snapshot intact and the orphan data
+   * directory ignorable.
+   */
+  def commit(df: DataFrame, root: String, table: String,
+             lineage: Seq[String] = Nil): Snapshot = {
+    val id = latest(root).map(_.id + 1).getOrElse(0L)
+    val dataPath = Paths.get(root, "data", id.toString).toString
+    val observed = df.observe(s"snap_$id", count(lit(1)).as("rows"))
+    observed.write.mode("overwrite").parquet(dataPath)
+    // per-partition (file) metrics from what was actually written
+    val files = Files.walk(Paths.get(dataPath)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    val bytes = files.map(Files.size).sum
+    val rows = df.sparkSession.read.parquet(dataPath).count()
+    val fileLines = files.map(p => s"""{"file":"${p.getFileName}","bytes":${Files.size(p)}}""")
+    val snap = Snapshot(id, table, dataPath, rows, bytes, files.size, lineage)
+    Files.createDirectories(snapsDir(root))
+    val manifest =
+      s"""{"id":$id,"table":"$table","dataPath":"$dataPath","rows":$rows,
+         |"bytes":$bytes,"files":${files.size},
+         |"lineage":[${lineage.map(l => "\"" + l + "\"").mkString(",")}],
+         |"partitions":[${fileLines.mkString(",")}]}""".stripMargin
+    val tmp = snapsDir(root).resolve(s"$id.json.tmp")
+    Files.writeString(tmp, manifest)
+    Files.move(tmp, snapsDir(root).resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    snap
+  }
+
+  /** Run `stage` unless its output snapshot already exists (resume path). */
+  def stage(spark: SparkSession, root: String, table: String,
+            lineage: Seq[String])(body: => DataFrame): DataFrame = {
+    latest(root) match {
+      case Some(s) if s.table == table =>
+        spark.read.parquet(s.dataPath)
+      case _ =>
+        val snap = commit(body, root, table, lineage)
+        spark.read.parquet(snap.dataPath)
+    }
+  }
+
+  private implicit class IterScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CellExprs
+
+/**
+ * The persisted feature index — the analogue of the reference's compact world
+ * build (src/diagonal.works/b6/ingest/compact/build.go:1107-1161): features
+ * are written cell-bucketed (directory partition = coarse ancestor cell) and
+ * sorted by (cell, id) within files.
+ *
+ * Why this layout at 100 TB:
+ *  - spatial queries carry a covering -> the coarse-cell partition column
+ *    prunes directories BEFORE any file is opened (Catalyst partition pruning);
+ *  - within a file, rows sorted by fine cell mean parquet row-group min/max
+ *    stats prune pages for cell-range predicates;
+ *  - a spatial join keyed on cells arrives pre-clustered, so the exchange
+ *    shuffles far less than a random layout would.
+ */
+object FeatureIndex {
+
+  /** Write `features` (must carry a `cell16` column) bucketed at `bucketLevel`. */
+  def build(features: DataFrame, path: String, bucketLevel: Int = 4): Unit = {
+    CellExprs.install(features.sparkSession)
+    features
+      .withColumn("cell_bucket", CellExprs.cell_parent_at(col("cell16"), lit(bucketLevel)))
+      .repartition(col("cell_bucket"))
+      .sortWithinPartitions(col("cell16"))
+      .write.partitionBy("cell_bucket").mode("overwrite").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Scan restricted to the buckets intersecting a covering — the partition
+    * pruning path (ancestors-or-self of each covering cell at bucket level). */
+  def scanCovering(spark: SparkSession, path: String, covering: Array[Long],
+                   bucketLevel: Int = 4): DataFrame = {
+    val buckets = covering.map { c =>
+      if (graft.core.Cells.level(c) >= bucketLevel) graft.core.Cells.parentAt(c, bucketLevel)
+      else c // coarser than buckets: expand below
+    }.flatMap { c =>
+      val l = graft.core.Cells.level(c)
+      if (l == bucketLevel) Seq(c)
+      else { // enumerate descendant buckets of a coarse cell
+        var cur = Seq(c)
+        (l until bucketLevel).foreach { _ => cur = cur.flatMap(graft.core.Cells.children) }
+        cur
+      }
+    }.distinct
+    read(spark, path).where(col("cell_bucket").isin(buckets: _*))
+  }
+}

@@ -117,22 +117,34 @@ object TextOps {
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = minhashSignature(df, textCol, k, numHashes)
-      .withColumn("__sh", shingles(col(textCol), k))
-      .select(col(idCol).as("__id"), col("minhash"), col("__sh"))
-    val banded = withSig.withColumn("band", explode(
+    // Shingle sets are computed ONCE and persisted: the banded self-join would
+    // otherwise recompute the (expensive) shingling per branch, and carrying
+    // wide arrays through the band shuffle would dominate the exchange. The
+    // join moves only (id, band_hash); shingles re-attach by id afterwards.
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSh
+      .withColumn("minhash",
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("__sh"), s => xxhash64(i, s)))))
+      .select(col("__id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("b"), xxhash64(b, slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("h")))))
-      .select(col("__id"), col("__sh"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
-    val a = banded.select(col("band_id"), col("band_hash"), col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .where(col("id_a") < col("id_b"))
+          b => struct(b.as("b"),
+            xxhash64(b, slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("h"))))
+        .as("band"))
+      .select(col("__id"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band_id", "band_hash"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val verified = candidates
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    verified
   }
 
   /** SimHash (64-bit): per token-hash bit, +1/-1 vote; signature bit b set when
@@ -176,12 +188,19 @@ object TextOps {
     * docs sharing at least one shingle; use LSH variant at scale). */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // inverted index moves only (shingle-hash, id); shingle sets re-attach by
+    // id for the exact verify (same shuffle discipline as dedupMinhashLsh)
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-    val inverted = withSh.withColumn("s", explode(col("__sh")))
-    val a = inverted.select(col("s"), col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = inverted.select(col("s"), col("__id").as("id_b"), col("__sh").as("sh_b"))
-    a.join(b, "s").where(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = withSh.select(col("__id"), explode(col("__sh")).as("s"))
+      .select(col("__id"), xxhash64(col("s")).as("sh"))
+    val candidates = inverted.as("a").join(inverted.as("b"), "sh")
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))

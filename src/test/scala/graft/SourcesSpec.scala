@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.GeoOps
+import graft.functions.TileIds
+import graft.index.FeatureIndex
+import graft.model.Fixtures
+import graft.sources.GeoJson
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSuite {
+
+  test("GeoJSON round-trips point/linestring/polygon/multipolygon") {
+    val wkts = Seq(
+      "POINT (-0.12 51.53)",
+      "LINESTRING (-0.12 51.5, -0.12 51.51, -0.11 51.51)",
+      graft.model.Fixtures.concaveWkts.head._2,
+      graft.model.Fixtures.concaveWkts(1)._2)
+    wkts.foreach { wkt =>
+      val g = GeoOps.fromWkt(wkt)
+      val back = GeoJson.parseGeometry(GeoJson.geometryToJson(g))
+      assert(back.equalsExact(g, 1e-12), s"round trip failed for $wkt")
+    }
+  }
+
+  test("GeoJSON feature collection frames features with properties") {
+    val f = GeoJson.featureToJson(GeoOps.point(51.5, -0.1), Map("name" -> "a \"b\""))
+    val fc = GeoJson.featureCollection(Seq(f))
+    assert(fc.startsWith("""{"type":"FeatureCollection""""))
+    assert(fc.contains("\\\"b\\\""))
+  }
+
+  test("FNV-1 tile feature ids match the reference algorithm (golden vectors)") {
+    assert(TileIds.tileFeatureId(0L, "graft/events", 0L) == 7414288829670906107L)
+    assert(TileIds.tileFeatureId(0L, "graft/events", 123L) == -5979490527527117250L)
+    assert(TileIds.tileFeatureId(2L, "openstreetmap.org/way", 427900370L) == -8835161884861920015L)
+    assert(TileIds.tileFeatureIdForPolygon(2L, "ns", 1L, 0L) !=
+      TileIds.tileFeatureIdForPolygon(2L, "ns", 1L, 1L))
+  }
+
+  test("FeatureIndex: cell-bucketed layout prunes partitions on covering scans") {
+    val path = java.nio.file.Files.createTempDirectory("fidx").toString
+    val feats = Fixtures.points(spark, sf001)
+    FeatureIndex.build(feats, path, bucketLevel = 12)
+    val all = FeatureIndex.read(spark, path)
+    assert(all.count() == feats.count())
+
+    // covering of the hot-cluster polygon -> should hit a strict subset of buckets
+    val wkb = GeoOps.toWkb(GeoOps.fromWkt(
+      "POLYGON ((-0.13 51.53, -0.115 51.53, -0.115 51.542, -0.13 51.542, -0.13 51.53))"))
+    val cover = GeoOps.coveringWkb(wkb, 16, 5)
+    val scan = FeatureIndex.scanCovering(spark, path, cover, bucketLevel = 12)
+    // the bucket predicate must reach the scan as a partition filter...
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell_bucket"),
+      s"partition filter missing from plan:\n$plan")
+    // ...and actually prune: the scan touches fewer buckets than exist
+    val allBuckets = all.select("cell_bucket").distinct().count()
+    val scanBuckets = scan.select("cell_bucket").distinct().count()
+    assert(scanBuckets < allBuckets, s"pruning must reduce buckets: $scanBuckets vs $allBuckets")
+    // correctness: pruned scan still contains every point inside the polygon
+    import spark.implicits._
+    val inside = feats.select("point_id", "lat", "lng").as[(Long, Double, Double)]
+      .collect().collect { case (pid, la, lo) if GeoOps.fromWkb(wkb).covers(GeoOps.point(la, lo)) => pid }.toSet
+    val scanned = scan.select("point_id").as[Long].collect().toSet
+    assert(inside.subsetOf(scanned), "partition pruning must never drop candidates")
+  }
+}

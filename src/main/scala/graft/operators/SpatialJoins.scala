@@ -29,12 +29,15 @@ object SpatialJoins {
   def pointInPolygonJoin(points: DataFrame, polygons: DataFrame,
                          pointCell: String = "cell16",
                          geomCol: String = "geom",
-                         coveringCol: String = "covering"): DataFrame = {
+                         coveringCol: String = "covering",
+                         knownLevels: Option[Seq[Int]] = None): DataFrame = {
     val polyCells = polygons.withColumn("__jcell", explode(col(coveringCol)))
     // Distinct covering levels: bounded by MaxLevel+1=30 values; computed on the
-    // (small) polygon side so the big point side needs exactly one pass.
-    val levels: Array[Int] = polyCells
-      .select(cell_level(col("__jcell")).as("l")).distinct().collect().map(_.getInt(0)).sorted
+    // (small) polygon side so the big point side needs exactly one pass. Pass
+    // knownLevels when the polygon index already records them (index metadata)
+    // to skip this tiny driver job entirely.
+    val levels: Array[Int] = knownLevels.map(_.toArray).getOrElse(polyCells
+      .select(cell_level(col("__jcell")).as("l")).distinct().collect().map(_.getInt(0))).sorted
     val keyed = points.withColumn("__jcell",
       explode(array(levels.map(l => cell_parent_at(col(pointCell), lit(l))): _*)))
     keyed.join(polyCells, "__jcell")

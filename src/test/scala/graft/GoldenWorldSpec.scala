@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.GeoOps
+import graft.query._
+import graft.sources.OsmWorld
+import org.apache.spark.sql.functions._
+
+/**
+ * Row-level equivalence with the reference's own golden-world tests: the
+ * granary-square.osm.pbf extract and the hard-coded golden counts from
+ * python/diagonal_b6/b6_test.py:26-33 and b6/test/camden/camden.go.
+ */
+class GoldenWorldSpec extends SparkSuite {
+
+  val pbf = "/root/reference/data/tests/granary-square.osm.pbf"
+  lazy val world = OsmWorld.features(spark, pbf).cache()
+
+  // GRANARY_SQUARE_POLYGON_WKT from python/diagonal_b6/b6_test.py:33
+  val granarySquareWkt =
+    "POLYGON ((-0.1260475 51.5357019,-0.1261001 51.5355674,-0.1261596 51.5354153,-0.1262097 51.535287,-0.1259034 51.5352365,-0.1259462 51.5351347,-0.1255806 51.5350765,-0.1255202 51.5350667,-0.1255004 51.5350372,-0.1254536 51.5349963,-0.1254346 51.5350013,-0.1252611 51.535049,-0.125219 51.5350629,-0.124904 51.5350121,-0.1247915 51.5350326,-0.124709 51.5350541,-0.1247491 51.5351308,-0.1247727 51.5351758,-0.1246766 51.5353808,-0.1246363 51.5354737,-0.125082 51.5355458,-0.1259754 51.5356902,-0.1260475 51.5357019))"
+
+  test("BIKE_PARKING_IN_GRANARY_SQUARE = 11: find tagged #amenity=bicycle_parking") {
+    assert(QueryPlanner.find(world, Tagged("#amenity", "bicycle_parking")).count() == 11)
+  }
+
+  test("HIGHWAYS_IN_GRANARY_SQUARE = 117: find typed(path, keyed #highway)") {
+    assert(QueryPlanner.find(world, TypedQ("path", Keyed("#highway"))).count() == 117)
+  }
+
+  test("HIGHWAY_AREAS_IN_GRANARY_SQUARE = 5: find typed(area, keyed #highway)") {
+    assert(QueryPlanner.find(world, TypedQ("area", Keyed("#highway"))).count() == 5)
+  }
+
+  test("BUILDINGS_IN_GRANARY_SQUARE = 13: find_areas keyed #building") {
+    assert(QueryPlanner.find(world, TypedQ("area", Keyed("#building"))).count() == 13)
+  }
+
+  test("FOUNTAINS_IN_GRANARY_SQUARE = 4: fountain areas intersecting the square WKT") {
+    val square = GeoOps.fromWkt(granarySquareWkt)
+    val fountains = QueryPlanner.find(world,
+      TypedQ("area", Tagged("#amenity", "fountain")))
+    import spark.implicits._
+    val n = fountains.select("geom").as[Array[Byte]].collect()
+      .count(wkb => GeoOps.fromWkb(wkb).intersects(square))
+    assert(n == 4)
+  }
+
+  test("LIGHTERMAN_WAY: area 427900370 is named The Lighterman") {
+    val name = world.where(col("id.ftype") === "area" && col("id.value") === 427900370L)
+      .select(col("tags").getItem("name")).collect()
+    assert(name.length == 1 && name(0).getString(0) == "The Lighterman")
+  }
+
+  test("find by id: Stable Street bridge south end node exists as a point") {
+    val n = world.where(col("id.ftype") === "point" && col("id.value") === 1540349979L).count()
+    assert(n == 1)
+  }
+
+  test("intersecting(square) via the engine's spatial plan matches JTS brute force") {
+    import spark.implicits._
+    val square = GeoOps.fromWkt(granarySquareWkt)
+    val got = QueryPlanner.find(world.where(col("id.ftype") === "point"),
+      IntersectsGeom(GeoOps.toWkb(square))).select("id.value").as[Long].collect().toSet
+    val expected = world.where(col("id.ftype") === "point")
+      .select(col("id.value"), col("lat"), col("lng")).as[(Long, Double, Double)]
+      .collect().collect { case (v, la, lo) if square.covers(GeoOps.point(la, lo)) => v }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}

@@ -70,6 +70,24 @@ object Bench {
       r
     }
 
+    // part 1b: the reference's own search-benchmark workload
+    // (BenchmarkSearchWorld, ingest/compact/world_test.go:241-254):
+    // Keyed(#building) AND IntersectsCap(51.5305,-0.1232,1km) over camden.
+    val camden = if (scalingOnly) "" else {
+      val s = session(cpus)
+      val world = graft.sources.OsmWorld.features(
+        s, "/root/reference/data/tests/camden.osm.pbf").cache()
+      world.count() // materialise (the reference benchmark also pre-builds)
+      import graft.query._
+      val q = And(Seq(Keyed("#building"), IntersectsCap(51.5305, -0.1232, 1000.0)))
+      var n = 0L
+      QueryPlanner.find(world, q).count() // warm
+      val runs = 20
+      val sec = time { (1 to runs).foreach(_ => n = QueryPlanner.find(world, q).count()) }
+      s.stop()
+      f""","camden_building_cap":{"rows":$n,"qps":${runs / sec}%.1f}"""
+    }
+
     // part 2: scaling — same job, same input, N vs 4N cores, each parallelism
     // level in its OWN JVM (identical JIT warmup; no cross-level bias).
     // 4 -> 16 is the headline pair: this box has 32 physical cores and scales
@@ -120,7 +138,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling = f"""{"rows":$scaleRows,"out_rows":$outRows,"cores_n":$n1,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"""+
       f""""rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f}"""
-    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling$camden,"sf":"$sfDir"}""")
 
     val md =
       f"""

@@ -268,6 +268,31 @@ object SparkEntry {
     "ag_time_window" -> ((s, d) => graft.streaming.Streaming.windowedEventCounts(
       t(s, d, "events")).orderBy("wstart", "event_type")),
 
+    // -- vector-tile rendering (MVT encode per tile, SURVEY §2.C) --
+    "rd_mvt" -> ((s, d) => {
+      val feats = Fixtures.polygons(s)
+        .select(col("poly_id").as("fid"), col("tag").as("layer"), col("geom"),
+          map(lit("name"), concat(lit("poly-"), col("poly_id"))).as("tags"))
+      graft.render.Mvt.renderTiles(feats, 14)
+        .select(col("z"), col("x"), col("y"), length(col("mvt")).as("n_bytes"))
+        .orderBy("z", "x", "y")
+    }),
+
+    // -- elevation field (IDW via cell index, SURVEY §2.D) --
+    "el_idw" -> ((s, d) => {
+      import s.implicits._
+      val spots = Seq(
+        (51.470, -0.190, 12.0), (51.480, -0.170, 18.0), (51.500, -0.150, 25.0),
+        (51.520, -0.130, 31.0), (51.535, -0.125, 22.0), (51.550, -0.110, 15.0),
+        (51.570, -0.095, 40.0), (51.600, -0.180, 8.0), (51.615, -0.160, 11.0),
+      ).toDF("slat", "slng", "elevation")
+      val queries = Fixtures.points(s, d).where(col("point_id") % 100 === 0)
+        .select(col("point_id").as("qid"), col("lat"), col("lng"))
+      graft.operators.Elevation.elevationAt(queries, spots, 3000.0)
+        .select(col("qid"), round(col("elevation"), 6).as("elevation"))
+        .orderBy("qid")
+    }),
+
     // -- multimodal (images decoded once; plumbing real, payload synthetic) --
     "mm_decode" -> ((s, d) => {
       val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
@@ -394,6 +419,20 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     "co_map_filter" ->
       s"$ptsCte SELECT point_id, p.lat * 2.0 + p.lng AS score FROM pts p WHERE p.lat * 2.0 + p.lng > 102.9 ORDER BY point_id",
+    "el_idw" -> {
+      val spots = Seq(
+        (51.470, -0.190, 12.0), (51.480, -0.170, 18.0), (51.500, -0.150, 25.0),
+        (51.520, -0.130, 31.0), (51.535, -0.125, 22.0), (51.550, -0.110, 15.0),
+        (51.570, -0.095, 40.0), (51.600, -0.180, 8.0), (51.615, -0.160, 11.0))
+        .map { case (a, b, c) => s"(CAST($a AS DOUBLE), CAST($b AS DOUBLE), CAST($c AS DOUBLE))" }
+        .mkString("(VALUES ", ", ", ") AS sp(slat, slng, elevation)")
+      val d = Fixtures.haversineSql("p.lat", "p.lng", "sp.slat", "sp.slng")
+      s"""$ptsCte SELECT p.point_id AS qid,
+         | round(sum((1.0 / greatest($d, 0.001)) * sp.elevation) / sum(1.0 / greatest($d, 0.001)), 6) AS elevation
+         |FROM pts p CROSS JOIN $spots
+         |WHERE p.point_id % 100 = 0 AND $d < 3000.0
+         |GROUP BY 1 ORDER BY qid""".stripMargin
+    },
     // gr_reachable / gr_closest / geo_scalar: iterative shortest paths and JTS
     // geometry are not ANSI-SQL-expressible — rows-only; exactness covered by
     // the ScalaTest Dijkstra / shoelace oracles.

@@ -78,8 +78,20 @@ object QueryPlanner {
       features
         .where(arrays_overlap(anc, typedLit(cover.toSeq)))
         .where(q.toColumn)
-    case And(qs) if qs.exists(_.isInstanceOf[IntersectsGeom]) =>
-      val (spatial, rest) = qs.partition(_.isInstanceOf[IntersectsGeom])
+    case cap @ IntersectsCap(lat, lng, r) =>
+      // cap -> 128-gon covering -> ancestor-cell pre-prune (the s2:/a2: token
+      // rewrite of search/spatial.go:65-83), exact haversine refine
+      val capGeom = graft.functions.GeoFunctions.capPolygon(lat, lng, r)
+      val cover = graft.core.GeoOps.covering(capGeom, 16, 8)
+      val levels = cover.map(c => graft.core.Cells.level(c)).distinct.sorted
+      val anc = array(levels.map(l =>
+        CellExprs.cell_parent_at(col("cell16"), lit(l))): _*)
+      features
+        .where(arrays_overlap(anc, typedLit(cover.toSeq)))
+        .where(cap.toColumn)
+    case And(qs) if qs.exists(q => q.isInstanceOf[IntersectsGeom] || q.isInstanceOf[IntersectsCap]) =>
+      val (spatial, rest) = qs.partition(q =>
+        q.isInstanceOf[IntersectsGeom] || q.isInstanceOf[IntersectsCap])
       val base = if (rest.isEmpty) features else features.where(And(rest).toColumn)
       spatial.foldLeft(base) { (df, s) => find(df, s) }
     case other => features.where(other.toColumn)

@@ -216,8 +216,8 @@ object SparkEntry {
       val inCap = graft.operators.SpatialJoins.withinCap(
         Fixtures.points(s, d), 51.5353, -0.1258, 2000.0)
       val pts = inCap.select("lat", "lng").as[(Double, Double)]
-      val hull = pts.rdd.mapPartitions { it =>
-        // partial hulls per partition, merged on the driver (tiny)
+      // partial hulls per partition (Dataset API), merged on the driver (tiny)
+      val hull = pts.mapPartitions { it =>
         val coords = it.map { case (la, lo) => GeoOps.point(la, lo).getCoordinate }.toArray
         if (coords.isEmpty) Iterator.empty
         else Iterator(GeoOps.toWkb(GeoOps.factory.createMultiPointFromCoords(coords).convexHull()))
@@ -267,6 +267,22 @@ object SparkEntry {
     // -- event-time windowed aggregation (streaming-equivalent batch plan) --
     "ag_time_window" -> ((s, d) => graft.streaming.Streaming.windowedEventCounts(
       t(s, d, "events")).orderBy("wstart", "event_type")),
+
+    // -- sessionization (stateful-streaming plane; batch-equivalent plan) --
+    "st_sessions" -> ((s, d) => graft.streaming.Streaming.sessionize(t(s, d, "events"), 30)
+      .orderBy("user_id", "session_idx")),
+
+    // -- vertex plane: points / sample-points --
+    "pt_points" -> ((s, d) => graft.operators.Paths.points(Fixtures.polygons(s))
+      .select(col("poly_id"), col("vertex_idx"), col("vlat"), col("vlng"))
+      .orderBy("poly_id", "vertex_idx")),
+    "gr_routes" -> ((s, d) => {
+      import s.implicits._
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 20)
+      graft.operators.Graph.reachableWithParents(edges, Seq(0L, 210L).toDF("origin"), 1200.0)
+        .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"), col("parent"))
+        .orderBy("origin", "node")
+    }),
 
     // -- vector-tile rendering (MVT encode per tile, SURVEY §2.C) --
     "rd_mvt" -> ((s, d) => {
@@ -413,6 +429,21 @@ object SparkEntry {
       s"SELECT event_id AS point_id, CASE WHEN event_id % 7 = 0 THEN 'modified' ELSE $amenitySql END AS amenity FROM events ORDER BY point_id",
     "w_add_tag" ->
       "SELECT event_id AS point_id, concat('st-', CAST(event_id % 4 AS VARCHAR)) AS status FROM events ORDER BY point_id",
+    "st_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |assigned AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM assigned GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "ag_time_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
         | count(*) AS n, min(value) AS min_v, max(value) AS max_v

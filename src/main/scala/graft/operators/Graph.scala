@@ -60,6 +60,57 @@ object Graph {
     dist
   }
 
+  /**
+   * accessible-routes (api/functions/graph.go:312-339): shortest-path
+   * distances WITH parent pointers, so routes (step lists) are recoverable.
+   * Returns (origin, node, dist_m, parent); parent is null at the origin.
+   */
+  def reachableWithParents(edges: DataFrame, origins: DataFrame,
+                           budgetMeters: Double, originCol: String = "origin"): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cost_m")).cache()
+    var dist = origins.select(col(originCol).as("origin"), col(originCol).as("node"),
+      lit(0.0).as("dist_m"), lit(null).cast("long").as("parent")).localCheckpoint()
+    var frontier = dist
+    var done = false
+    while (!done) {
+      val relaxed = frontier.join(e, frontier("node") === e("src"))
+        .select(col("origin"), e("dst").as("node"),
+          (col("dist_m") + col("cost_m")).as("dist_m"), frontier("node").as("parent"))
+        .where(col("dist_m") <= budgetMeters)
+      val newDist = dist.unionByName(relaxed)
+        .groupBy("origin", "node")
+        .agg(min_by(struct(col("dist_m"), col("parent")), struct(col("dist_m"), col("parent"))).as("best"))
+        .select(col("origin"), col("node"), col("best.dist_m").as("dist_m"), col("best.parent").as("parent"))
+        .localCheckpoint()
+      val improved = newDist.join(
+          dist.select(col("origin"), col("node"), col("dist_m").as("old")),
+          Seq("origin", "node"), "left")
+        .where(col("old").isNull || col("dist_m") < col("old"))
+        .select("origin", "node", "dist_m", "parent")
+        .localCheckpoint()
+      done = improved.isEmpty
+      dist = newDist
+      frontier = improved
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Backtrace one route from the parent-pointer table (driver-side walk over
+    * the collected per-origin parents — routes are short). */
+  def route(parents: Map[Long, Long], origin: Long, target: Long): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var cur = target
+    var guard = 0
+    while (cur != origin && guard < 100000) {
+      out += cur
+      cur = parents.getOrElse(cur, origin)
+      guard += 1
+    }
+    out += origin
+    out.result().reverse
+  }
+
   /** b6 `reachable`: nodes within budget of a single origin, joined back to a
     * feature table filtered by a predicate (api/functions/graph.go:35-85). */
   def reachableFeatures(edges: DataFrame, origin: Long, budgetMeters: Double,

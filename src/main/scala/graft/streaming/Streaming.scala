@@ -28,6 +28,54 @@ object Streaming {
         col("event_type"), col("n"), col("min_v"), col("max_v"))
   }
 
+  /** Gap-based sessionization: events grouped per user into sessions split at
+    * `gap` inactivity. Batch plan (window lag + running sum); the streaming
+    * equivalent uses flatMapGroupsWithState below — both produce identical
+    * (user_id, session_idx, n_events, t_start, t_end) rows on the same input. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts").cast("timestamp")) - unix_micros(col("__prev").cast("timestamp")) >
+          gapMinutes.toLong * 60000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+  }
+
+  case class SessionEvent(user_id: Long, tsMicros: Long)
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                        t_start_micros: Long, t_end_micros: Long)
+  private case class SessionState(idx: Long, n: Long, start: Long, last: Long)
+
+  /** Stateful-streaming sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state path of Structured Streaming. In a
+    * test it runs over a batch-sorted group iterator and must equal
+    * `sessionize`. */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gap = gapMinutes.toLong * 60000000L
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      val sorted = it.toSeq.sortBy(_.tsMicros)
+      val out = Seq.newBuilder[SessionOut]
+      var st: SessionState = null
+      sorted.foreach { e =>
+        if (st == null) st = SessionState(0, 1, e.tsMicros, e.tsMicros)
+        else if (e.tsMicros - st.last > gap) {
+          out += SessionOut(uid, st.idx, st.n, st.start, st.last)
+          st = SessionState(st.idx + 1, 1, e.tsMicros, e.tsMicros)
+        } else st = st.copy(n = st.n + 1, last = e.tsMicros)
+      }
+      if (st != null) out += SessionOut(uid, st.idx, st.n, st.start, st.last)
+      out.result().iterator
+    }
+  }
+
   /** Run a streaming query over parquet-backed events into an in-memory table
     * and return the materialised result (local smoke / tests). */
   def runStreamToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {

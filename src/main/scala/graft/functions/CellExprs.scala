@@ -199,7 +199,10 @@ object CellExprs {
 
   /** Register all graft expressions in the session's function registry. Idempotent. */
   def install(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    val ident = new org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   def cell_of(lat: Column, lng: Column, level: Column): Column = call_function("cell_of", lat, lng, level)

@@ -147,6 +147,31 @@ object Graph {
   }
 
   /**
+   * connect-to-network(-all) (api/functions/graph.go:547-586,
+   * graph/connectivity.go): project features onto the street network by
+   * adding an access edge to the nearest network node within `maxMeters`.
+   * Realised as an exact kNN(k=1) cell-ring join (no cross join), then a
+   * union of new edges — features too far from the network stay disconnected,
+   * like the reference's threshold behavior.
+   */
+  def connectToNetwork(features: DataFrame, nodes: DataFrame, edges: DataFrame,
+                       maxMeters: Double, level: Int = 12): DataFrame = {
+    graft.functions.CellExprs.install(features.sparkSession)
+    // the network-node table is the big side of the kNN; the features being
+    // connected are the (small) query side
+    val big = nodes.select(col("node_id").as("point_id"), col("lat"), col("lng"))
+      .withColumn("cell16",
+        graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+    val small = features.select(col("fid").as("site_id"),
+      col("lat").as("site_lat"), col("lng").as("site_lng"))
+    val nearest = SpatialJoins.knnJoin(big, small, k = 1, level = level)
+      .where(col("__dist") <= maxMeters)
+    val accessEdges = nearest.select(
+      col("site_id").as("src"), col("point_id").as("dst"), col("__dist").as("cost_m"))
+    undirected(accessEdges).unionByName(edges.select("src", "dst", "cost_m"))
+  }
+
+  /**
    * Deterministic synthetic street grid over the fixture bbox: nodes are grid
    * intersections, edges connect 4-neighbors with haversine costs; some edges
    * removed pseudo-randomly (seeded) so shortest paths are non-trivial.

@@ -31,6 +31,7 @@ object SpatialJoins {
                          geomCol: String = "geom",
                          coveringCol: String = "covering",
                          knownLevels: Option[Seq[Int]] = None): DataFrame = {
+    graft.functions.CellExprs.install(points.sparkSession)
     val polyCells = polygons.withColumn("__jcell", explode(col(coveringCol)))
     // Distinct covering levels: bounded by MaxLevel+1=30 values; computed on the
     // (small) polygon side so the big point side needs exactly one pass. Pass
@@ -78,6 +79,7 @@ object SpatialJoins {
               siteLat: String = "site_lat", siteLng: String = "site_lng"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = points.sparkSession
+    graft.functions.CellExprs.install(spark)
     val metersPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
     val degPerCell = 180.0 / (1L << level).toDouble
 

@@ -59,6 +59,20 @@ class GraphSpec extends SparkSuite {
     assert(got(0)._2 == best._1 && math.abs(got(0)._3 - best._2) < 1e-6)
   }
 
+  test("connectToNetwork adds access edges to the nearest node within range") {
+    val (nodes, edges) = Graph.syntheticGrid(spark, 8)
+    val features = Seq((1000L, 51.4601, -0.2101), (1001L, 53.0, -2.0))
+      .toDF("fid", "lat", "lng") // second feature is far outside maxMeters
+    val withAccess = Graph.connectToNetwork(features, nodes, edges, 500.0)
+    val access = withAccess.where(col("src") === 1000L || col("dst") === 1000L).collect()
+    assert(access.length == 2, "connected feature gets a bidirectional access edge")
+    val far = withAccess.where(col("src") === 1001L || col("dst") === 1001L).count()
+    assert(far == 0, "out-of-range feature stays disconnected")
+    // reachability now flows through the new edge
+    val d = Graph.reachable(withAccess, Seq(1000L).toDF("origin"), 1000.0)
+    assert(d.count() > 1)
+  }
+
   test("pathsToReach marks only edges on shortest paths") {
     val origins = Seq(0L).toDF("origin")
     val used = Graph.pathsToReach(edges, origins, 600.0)

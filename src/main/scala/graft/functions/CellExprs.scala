@@ -52,6 +52,24 @@ object CellExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  case class CellCenterLat(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cell_center_lat"
+    override protected def nullSafeEval(c: Any): Any = graft.core.Cells.centerLat(c.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.core.Cells.centerLat($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  case class CellCenterLng(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cell_center_lng"
+    override protected def nullSafeEval(c: Any): Any = graft.core.Cells.centerLng(c.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.core.Cells.centerLng($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   case class CellAncestors(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "cell_ancestors"
@@ -186,6 +204,8 @@ object CellExprs {
     "cell_of" -> (es => CellOf(asD(es(0)), asD(es(1)), asI(es(2)))),
     "cell_parent_at" -> (es => CellParentAt(asL(es(0)), asI(es(1)))),
     "cell_level" -> (es => CellLevel(asL(es(0)))),
+    "cell_center_lat" -> (es => CellCenterLat(asL(es(0)))),
+    "cell_center_lng" -> (es => CellCenterLng(asL(es(0)))),
     "cell_ancestors" -> (es => CellAncestors(asL(es(0)))),
     "cell_neighbor_disk" -> (es => CellNeighborDisk(asL(es(0)), asI(es(1)))),
     "cell_covering" -> (es => CellCoveringWkb(es(0), asI(es(1)), asI(es(2)))),
@@ -217,6 +237,9 @@ object CellExprs {
   def wkb_intersects(a: Column, b: Column): Column = call_function("wkb_intersects", a, b)
   def haversine_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
     call_function("haversine_m", lat1, lng1, lat2, lng2)
+  /** s2-center analogue: cell centroid (functions/s2.go:13-74). */
+  def cell_center_lat(cell: Column): Column = call_function("cell_center_lat", cell)
+  def cell_center_lng(cell: Column): Column = call_function("cell_center_lng", cell)
   def tile_x(lng: Column, zoom: Column): Column = call_function("tile_x", lng, zoom)
   def tile_y(lat: Column, zoom: Column): Column = call_function("tile_y", lat, zoom)
   def tile_cover(wkb: Column, zoom: Column): Column = call_function("tile_cover", wkb, zoom)

@@ -109,6 +109,34 @@ object Fixtures {
     s"WITH pts AS ($pts) ${perPoly.mkString(" UNION ALL ")} ORDER BY point_id, poly_id"
   }
 
+  /** Seeded polygon fleet for benchmarks: n pentagons of varied size (0.3-4 km)
+    * over the point bbox, overlapping the hot cluster — a realistic feature
+    * side (hundreds of areas) for the flagship spatial join. */
+  def benchPolygons(spark: SparkSession, n: Int, maxLevel: Int = 16,
+                    maxCells: Int = 5): DataFrame = {
+    CellExprs.install(spark)
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val h = splitmix64(1000L + i)
+      def frac(shift: Int, mod: Int): Double =
+        ((h >>> shift) & 0xffffL).toDouble % mod / mod.toDouble
+      val cLat = 51.462 + frac(0, 9973) * 0.158
+      val cLng = -0.208 + frac(16, 9941) * 0.152
+      val rKm = 0.15 + frac(32, 9907) * 1.1
+      val rLat = rKm / 111.19
+      val rLng = rLat / math.cos(math.toRadians(cLat))
+      val ring = (0 until 5).map { k =>
+        val a = 2 * math.Pi * k / 5 + frac(48, 9871)
+        new org.locationtech.jts.geom.Coordinate(
+          cLng + rLng * math.cos(a), cLat + rLat * math.sin(a))
+      } :+ new org.locationtech.jts.geom.Coordinate(
+        cLng + rLng * math.cos(frac(48, 9871)), cLat + rLat * math.sin(frac(48, 9871)))
+      (1000L + i, "bench", GeoOps.toWkb(GeoOps.factory.createPolygon(ring.toArray)))
+    }
+    rows.toDF("poly_id", "tag", "geom")
+      .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(maxLevel), lit(maxCells)))
+  }
+
   // ---- kNN sites -------------------------------------------------------------
 
   val knnSites: Seq[(Long, Double, Double)] = Seq(

@@ -32,6 +32,33 @@ object FeatureIndex {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /**
+   * Index tokens per feature — the reference's token scheme made visible
+   * (debug-tokens, api/functions/debug.go:14-19; token generation
+   * ingest/tokens.go:9-28): `*`, `s2:<cell>` for each covering cell,
+   * `a2:<ancestor>` for every ancestor of each covering cell, `#k=v` for
+   * searchable tags, `@k` for key-indexed tags.
+   */
+  def tokens(features: DataFrame): DataFrame = {
+    CellExprs.install(features.sparkSession)
+    val spark = features.sparkSession
+    val s2 = features.select(col("id"),
+      explode(col("covering")).as("c"))
+      .select(col("id"), concat(lit("s2:"), col("c")).as("token"))
+    val a2 = features.select(col("id"), explode(col("covering")).as("c"))
+      .select(col("id"), explode(CellExprs.cell_ancestors(col("c"))).as("a"))
+      .select(col("id"), concat(lit("a2:"), col("a")).as("token"))
+      .distinct()
+    val tags = features.select(col("id"), explode(map_entries(col("tags"))).as("kv"))
+      .select(col("id"),
+        when(col("kv.key").startsWith("#"), concat(col("kv.key"), lit("="), col("kv.value")))
+          .when(col("kv.key").startsWith("@"), col("kv.key"))
+          .otherwise(lit(null)).as("token"))
+      .where(col("token").isNotNull)
+    val all = features.select(col("id"), lit("*").as("token"))
+    all.unionByName(s2).unionByName(a2).unionByName(tags)
+  }
+
   /** Scan restricted to the buckets intersecting a covering — the partition
     * pruning path (ancestors-or-self of each covering cell at bucket level). */
   def scanCovering(spark: SparkSession, path: String, covering: Array[Long],

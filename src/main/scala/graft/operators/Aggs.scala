@@ -83,6 +83,24 @@ object Aggs {
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), sum(col("c")).as("n"))
   }
 
+  /** Bucket label per the reference's formatLabel (api/histogram.go:209-226):
+    * ints where upper == lower+1 collapse to "lower"; floats format %.3g;
+    * the open last bucket renders "lower-". */
+  def formatLabel(lower: Double, upper: Option[Double]): String = {
+    def fmt(v: Double): String =
+      if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+      else formatG3(v)
+    upper match {
+      case Some(u) if lower == lower.floor && u == u.floor && u == lower + 1 => fmt(lower)
+      case Some(u) => s"${fmt(lower)}-${fmt(u)}"
+      case None => s"${fmt(lower)}-"
+    }
+  }
+
+  /** %.3g formatting (3 significant digits, like the reference's
+    * formatLabelValue — histogram.go:221-226). */
+  private def formatG3(v: Double): String = f"$v%.3g"
+
   /**
    * histogram, categorical case (api/histogram.go:245-262): order values by
    * count descending; top 5 keep their own bucket, the rest collapse into

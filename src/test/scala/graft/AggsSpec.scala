@@ -59,6 +59,13 @@ class AggsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("histogram labels follow the reference formatLabel rules") {
+    assert(Aggs.formatLabel(1.0, Some(2.0)) == "1")      // int, u == l+1
+    assert(Aggs.formatLabel(1.0, Some(9.0)) == "1-9")
+    assert(Aggs.formatLabel(42.0, None) == "42-")        // open bucket
+    assert(Aggs.formatLabel(0.125, Some(0.5)) == "0.125-0.500")
+  }
+
   test("top is TakeOrdered with deterministic tiebreak") {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("k", "v")
     val got = Aggs.top(df, "v", 2, "k").select("k").collect().map(_.getLong(0)).toSeq

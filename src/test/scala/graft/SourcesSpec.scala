@@ -37,6 +37,23 @@ class SourcesSpec extends SparkSuite {
       TileIds.tileFeatureIdForPolygon(2L, "ns", 1L, 1L))
   }
 
+  test("index tokens follow the reference scheme (*, s2:, a2:, #k=v, @k)") {
+    val feats = SparkEntry.features(spark, sf001).limit(50)
+      .withColumn("covering", org.apache.spark.sql.functions.array(col("cell16")))
+    val toks = FeatureIndex.tokens(feats)
+    import spark.implicits._
+    val perKind = toks.select("token").as[String].collect()
+      .groupBy(t => t.takeWhile(_ != ':') match {
+        case "s2" => "s2"; case "a2" => "a2"
+        case x if x.startsWith("#") => "#"; case x if x.startsWith("@") => "@"
+        case "*" => "*"; case _ => "?"
+      }).view.mapValues(_.length).toMap
+    assert(perKind("*") == 50)
+    assert(perKind("s2") == 50)
+    assert(perKind("a2") >= 50 * 17 - 100, s"ancestors per cell16: $perKind") // 17 levels, some shared
+    assert(perKind.contains("#"))
+  }
+
   test("FeatureIndex: cell-bucketed layout prunes partitions on covering scans") {
     val path = java.nio.file.Files.createTempDirectory("fidx").toString
     val feats = Fixtures.points(spark, sf001)

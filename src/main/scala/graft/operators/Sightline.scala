@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry}
+import graft.core.GeoOps
+import graft.functions.CellExprs
+
+/**
+ * Sightline / visibility polygons (src/diagonal.works/b6/api/functions/
+ * sightline.go:21-120: visibility from a point within a radius, occluded by
+ * #building areas). The reference runs an exact polar sweep; here each origin
+ * casts `rays` evenly-spaced rays (default 256) and clips them at the first
+ * intersecting occluder edge — an approximation that converges to the sweep
+ * as rays grow, adequate for the isovist-style analysis the reference uses it
+ * for.
+ *
+ * Spark shape: occluders pair with origins through the covering-cell join
+ * (only buildings within the radius disk are shipped to an origin's task);
+ * the per-origin sweep runs in one mapGroups pass.
+ */
+object Sightline {
+
+  case class SightlineRow(origin_id: Long, visible_wkb: Array[Byte], area_m2: Double)
+
+  def sightlines(origins: DataFrame, occluders: DataFrame, radiusMeters: Double,
+                 rays: Int = 256, level: Int = 13): Dataset[SightlineRow] = {
+    val spark = origins.sparkSession
+    import spark.implicits._
+    CellExprs.install(spark)
+    val metersPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
+    val cellLatMeters = 180.0 / (1L << level).toDouble * metersPerDegLat
+    val ring = math.ceil(radiusMeters / (cellLatMeters * 0.5)).toInt + 1
+
+    val o = origins.select(col("origin_id"), col("lat"), col("lng"))
+      .withColumn("__c", explode(CellExprs.cell_neighbor_disk(
+        CellExprs.cell_of(col("lat"), col("lng"), lit(level)), lit(ring))))
+    val b = occluders.select(col("geom"))
+      .withColumn("__c", explode(CellExprs.cell_covering(col("geom"), lit(level), lit(32))))
+      .withColumn("__c", CellExprs.cell_parent_at(col("__c"), lit(level)))
+    // candidates: (origin, occluder wkb) pairs whose cells collide
+    val cand = o.join(b, "__c")
+      .select(col("origin_id"), col("lat"), col("lng"), col("geom"))
+      .dropDuplicates("origin_id", "geom")
+      .as[(Long, Double, Double, Array[Byte])]
+
+    cand.groupByKey(_._1).mapGroups { (oid, it) =>
+      val rowsSeq = it.toSeq
+      val (lat, lng) = (rowsSeq.head._2, rowsSeq.head._3)
+      val geoms = rowsSeq.map(r => GeoOps.fromWkb(r._4))
+      val vis = visibilityPolygon(lat, lng, geoms, radiusMeters, rays)
+      SightlineRow(oid, GeoOps.toWkb(vis),
+        graft.functions.GeoFunctions.areaM2(vis))
+    }
+  }
+
+  /** Ray-cast visibility polygon around (lat,lng). */
+  def visibilityPolygon(lat: Double, lng: Double, occluders: Seq[Geometry],
+                        radiusMeters: Double, rays: Int): Geometry = {
+    val mPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
+    val mPerDegLng = mPerDegLat * math.cos(math.toRadians(lat))
+    val dLat = radiusMeters / mPerDegLat
+    val dLng = radiusMeters / mPerDegLng
+    val originC = new Coordinate(lng, lat)
+    val prepared = occluders.map(GeoOps.prepare)
+    val coords = (0 until rays).map { i =>
+      val a = 2 * math.Pi * i / rays
+      val end = new Coordinate(lng + dLng * math.cos(a), lat + dLat * math.sin(a))
+      val ray = GeoOps.factory.createLineString(Array(originC, end))
+      var best = end
+      var bestFrac = 1.0
+      occluders.indices.foreach { j =>
+        if (prepared(j).intersects(ray)) {
+          val inter = occluders(j).intersection(ray)
+          val cs = inter.getCoordinates
+          cs.foreach { c =>
+            val frac = math.max(
+              math.abs(c.x - lng) / math.max(math.abs(end.x - lng), 1e-12),
+              math.abs(c.y - lat) / math.max(math.abs(end.y - lat), 1e-12))
+            if (frac < bestFrac && frac > 1e-9) { bestFrac = frac; best = c }
+          }
+        }
+      }
+      best
+    }
+    GeoOps.factory.createPolygon((coords :+ coords.head).toArray)
+  }
+}

@@ -66,6 +66,49 @@ object Paths {
       .when(col(typeCol) === "path", onPath(target))
       .otherwise(onArea(target))
 
+  /**
+   * snap-area-edges (geometry.go:123-204): move polygon vertices onto nearby
+   * matched paths when within `thresholdMeters`. Candidates come through a
+   * covering-cell join; the per-area snap projects each vertex to the nearest
+   * point on the closest candidate path (JTS DistanceOp).
+   */
+  def snapAreaEdges(areas: DataFrame, paths: DataFrame, thresholdMeters: Double,
+                    level: Int = 14): DataFrame = {
+    val spark = areas.sparkSession
+    import spark.implicits._
+    graft.functions.CellExprs.install(spark)
+    import graft.functions.CellExprs._
+    val a = areas.select(col("poly_id"), col("geom"))
+      .withColumn("__c", explode(cell_covering(col("geom"), lit(level), lit(32))))
+      .withColumn("__c", cell_parent_at(col("__c"), lit(level)))
+    val p = paths.select(col("geom").as("path_geom"))
+      .withColumn("__c", explode(cell_covering(col("path_geom"), lit(level), lit(64))))
+      .withColumn("__c", cell_parent_at(col("__c"), lit(level)))
+    val cand = a.join(p, "__c").dropDuplicates("poly_id", "path_geom")
+      .select(col("poly_id"), col("geom"), col("path_geom"))
+      .as[(Long, Array[Byte], Array[Byte])]
+    val mPerDeg = graft.functions.GeoFunctions.EarthMetersPerDegLat
+    cand.groupByKey(_._1).mapGroups { (pid, it) =>
+      val rows = it.toSeq
+      val area = GeoOps.fromWkb(rows.head._2)
+      val pathGeoms = rows.map(r => GeoOps.fromWkb(r._3))
+      val snapped = area.getCoordinates.map { c =>
+        val best = pathGeoms.map { pg =>
+          val cp = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(
+            pg, GeoOps.factory.createPoint(c))
+          (cp(0), GeoOps.haversineMeters(c.y, c.x, cp(0).y, cp(0).x))
+        }.minByOption(_._2)
+        best match {
+          case Some((np, d)) if d <= thresholdMeters => new org.locationtech.jts.geom.Coordinate(np.x, np.y)
+          case _ => c
+        }
+      }
+      // keep ring closed
+      if (!snapped.head.equals2D(snapped.last)) snapped(snapped.length - 1) = snapped.head
+      (pid, GeoOps.toWkb(GeoOps.factory.createPolygon(snapped)))
+    }.toDF("poly_id", "geom")
+  }
+
   /** collect-areas: union-all polygons into one multi-geometry (no dissolve). */
   def collectAreas(df: DataFrame, geomCol: String = "geom"): Array[Byte] = {
     val wkbs = df.select(col(geomCol)).collect().map(_.getAs[Array[Byte]](0))

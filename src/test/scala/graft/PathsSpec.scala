@@ -49,6 +49,21 @@ class PathsSpec extends SparkSuite {
     }
   }
 
+  test("snapAreaEdges moves vertices onto nearby paths, leaves far vertices") {
+    val area = GeoOps.toWkb(GeoOps.fromWkt(
+      "POLYGON ((-0.1300 51.5300, -0.1200 51.5300, -0.1200 51.5400, -0.1300 51.5400, -0.1300 51.5300))"))
+    // a path running just east of the polygon's east edge (~22m away)
+    val path = GeoOps.toWkb(GeoOps.fromWkt("LINESTRING (-0.11968 51.5250, -0.11968 51.5450)"))
+    val areas = Seq((1L, area)).toDF("poly_id", "geom")
+    val paths = Seq(Tuple1(path)).toDF("geom")
+    val out = Paths.snapAreaEdges(areas, paths, 50.0).collect()
+    assert(out.length == 1)
+    val snapped = GeoOps.fromWkb(out(0).getAs[Array[Byte]]("geom")).getCoordinates
+    // east-edge vertices snapped onto the path longitude; west vertices unchanged
+    assert(snapped.count(c => math.abs(c.x - (-0.11968)) < 1e-9) >= 2, snapped.mkString(";"))
+    assert(snapped.count(c => math.abs(c.x - (-0.1300)) < 1e-9) >= 2)
+  }
+
   test("stateful sessionization equals the batch window plan") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
     val batch = Streaming.sessionize(ev, 30)

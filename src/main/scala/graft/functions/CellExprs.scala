@@ -217,6 +217,9 @@ object CellExprs {
     "tile_cover" -> (es => TileCoverWkbExpr(es(0), asI(es(1)))),
   )
 
+  /** Expression builders by SQL name (shared with GraftExtensions). */
+  def registrations: Seq[(String, Seq[Expression] => Expression)] = builders
+
   /** Register all graft expressions in the session's function registry. Idempotent. */
   def install(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
     val ident = new org.apache.spark.sql.catalyst.FunctionIdentifier(name)

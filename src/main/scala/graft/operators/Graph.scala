@@ -31,19 +31,31 @@ object Graph {
    * all origins expand in ONE dataset, batched per round (no per-origin jobs).
    */
   def reachable(edges: DataFrame, origins: DataFrame, budgetMeters: Double,
-                originCol: String = "origin"): DataFrame = {
-    val spark = edges.sparkSession
+                originCol: String = "origin", hopsPerRound: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("cost_m")).cache()
     var dist = origins.select(col(originCol).as("origin"), col(originCol).as("node"),
       lit(0.0).as("dist_m")).localCheckpoint()
     var frontier = dist
     var done = false
     while (!done) {
-      val relaxed = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), e("dst").as("node"),
-          (col("dist_m") + col("cost_m")).as("dist_m"))
-        .where(col("dist_m") <= budgetMeters)
-      val newDist = dist.unionByName(relaxed)
+      // relax `hopsPerRound` hops lazily (one materialisation per round, not
+      // per hop — street networks need O(budget/edgeLen) hops and per-hop
+      // actions would dominate); per-hop groupBy-min keeps the frontier
+      // bounded by |nodes| so chained hops cannot blow up combinatorially
+      var f = frontier
+      var pending = frontier.limit(0)
+      (1 to hopsPerRound).foreach { _ =>
+        // fresh aliases per hop: re-joining the same edge Dataset would trip
+        // Spark's ambiguous-self-join detection
+        val eh = e.select(col("src").as("__s"), col("dst").as("__d"), col("cost_m").as("__w"))
+        f = f.join(eh, f("node") === col("__s"))
+          .select(col("origin"), col("__d").as("node"),
+            (col("dist_m") + col("__w")).as("dist_m"))
+          .where(col("dist_m") <= budgetMeters)
+          .groupBy("origin", "node").agg(min("dist_m").as("dist_m"))
+        pending = pending.unionByName(f)
+      }
+      val newDist = dist.unionByName(pending)
         .groupBy("origin", "node").agg(min("dist_m").as("dist_m"))
         .localCheckpoint()
       // improved rows drive the next round
@@ -66,18 +78,28 @@ object Graph {
    * Returns (origin, node, dist_m, parent); parent is null at the origin.
    */
   def reachableWithParents(edges: DataFrame, origins: DataFrame,
-                           budgetMeters: Double, originCol: String = "origin"): DataFrame = {
+                           budgetMeters: Double, originCol: String = "origin",
+                           hopsPerRound: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("cost_m")).cache()
     var dist = origins.select(col(originCol).as("origin"), col(originCol).as("node"),
       lit(0.0).as("dist_m"), lit(null).cast("long").as("parent")).localCheckpoint()
     var frontier = dist
     var done = false
     while (!done) {
-      val relaxed = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), e("dst").as("node"),
-          (col("dist_m") + col("cost_m")).as("dist_m"), frontier("node").as("parent"))
-        .where(col("dist_m") <= budgetMeters)
-      val newDist = dist.unionByName(relaxed)
+      var f = frontier
+      var pending = frontier.limit(0)
+      (1 to hopsPerRound).foreach { _ =>
+        val eh = e.select(col("src").as("__s"), col("dst").as("__d"), col("cost_m").as("__w"))
+        f = f.join(eh, f("node") === col("__s"))
+          .select(col("origin"), col("__d").as("node"),
+            (col("dist_m") + col("__w")).as("dist_m"), f("node").as("parent"))
+          .where(col("dist_m") <= budgetMeters)
+          .groupBy("origin", "node")
+          .agg(min_by(struct(col("dist_m"), col("parent")), struct(col("dist_m"), col("parent"))).as("best"))
+          .select(col("origin"), col("node"), col("best.dist_m").as("dist_m"), col("best.parent").as("parent"))
+        pending = pending.unionByName(f)
+      }
+      val newDist = dist.unionByName(pending)
         .groupBy("origin", "node")
         .agg(min_by(struct(col("dist_m"), col("parent")), struct(col("dist_m"), col("parent"))).as("best"))
         .select(col("origin"), col("node"), col("best.dist_m").as("dist_m"), col("best.parent").as("parent"))

@@ -20,9 +20,16 @@ object Weights {
   private def weightMultiplier(tags: Column): Column =
     coalesce(tags.getItem("diagonal:weight").cast("double"), lit(1.0))
 
-  /** Walking time in seconds (WalkingTimeWeights, graph.go:214-227). */
+  /** Walking time in seconds (4500 m/h). NOTE the reference's
+    * WalkingTimeWeights.Weight MULTIPLIES meters by speed (graph.go:225-227)
+    * rather than dividing — `walkingCostReference` reproduces that observable
+    * cost for golden parity; this function returns physical seconds. */
   def walkingSeconds(costMeters: Column, tags: Column): Column =
     costMeters / lit(WalkingMetersPerHour / 3600.0) * weightMultiplier(tags)
+
+  /** Bit-compatible reference walk cost: meters * 1.25 (graph.go:20,:225-227). */
+  def walkingCostReference(costMeters: Column, tags: Column): Column =
+    costMeters * lit(WalkingMetersPerHour / 3600.0) * weightMultiplier(tags)
 
   /** Walking + Naismith climb penalty (ElevationWeights, graph.go:161-212). */
   def elevationSeconds(costMeters: Column, tags: Column, climbMeters: Column): Column =

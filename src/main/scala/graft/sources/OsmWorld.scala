@@ -104,6 +104,69 @@ object OsmWorld {
       .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
   }
 
+  /**
+   * Walking-network edge table from the extract's #highway ways: one
+   * undirected edge per consecutive vertex pair, cost = haversine meters —
+   * the b6 Traverse/segment graph (b6/world.go:1104-1216) materialised as a
+   * Spark edge table. Ways with nodes outside the extract are dropped (same
+   * validity rule as feature ingest).
+   */
+  def networkEdges(spark: SparkSession, pbfPath: String): DataFrame = {
+    val osm = OsmPbf.read(pbfPath)
+    val nodeById = osm.nodes.map(n => n.id -> n).toMap
+    // closed ways are AREA features, not paths — the reference's graph
+    // traverses path segments only (a pedestrian square's closed perimeter is
+    // not a walkable chain)
+    val openWays = osm.ways.filter(w =>
+      w.refs.length >= 2 && w.refs.head != w.refs.last && w.refs.forall(nodeById.contains))
+    // graph vertices follow the reference's segment rule
+    // (ingest/basic.go:254-262): path endpoints, points referenced by more
+    // than one path, or points carrying their own tags
+    val refCount = scala.collection.mutable.Map.empty[Long, Int]
+    openWays.foreach(w => w.refs.foreach(r => refCount(r) = refCount.getOrElse(r, 0) + 1))
+    def isVertex(w: OsmPbf.Way, i: Int): Boolean = {
+      val r = w.refs(i)
+      i == 0 || i == w.refs.length - 1 || refCount.getOrElse(r, 0) > 1 ||
+        nodeById(r).tags.nonEmpty
+    }
+    val edges = Vector.newBuilder[(Long, Long, Double)]
+    openWays.foreach { w =>
+      if (w.tags.contains("highway")) { // walk usability: any #highway path
+        var segStart = 0
+        var acc = 0.0
+        var i = 1
+        while (i < w.refs.length) {
+          val a = nodeById(w.refs(i - 1)); val b = nodeById(w.refs(i))
+          acc += GeoOps.haversineMeters(a.lat, a.lon, b.lat, b.lon)
+          if (isVertex(w, i)) {
+            edges += ((w.refs(segStart), w.refs(i), acc))
+            segStart = i
+            acc = 0.0
+          }
+          i += 1
+        }
+      }
+    }
+    import spark.implicits._
+    graft.operators.Graph.undirected(edges.result().toDF("src", "dst", "cost_m"))
+  }
+
+  /**
+   * Area entrances: (area id, boundary node id) pairs — the reference reaches
+   * areas through the network when the search visits a point their boundary
+   * references (FindAreasByPoint; graph/graph.go:452-461).
+   */
+  def areaEntrances(spark: SparkSession, pbfPath: String): DataFrame = {
+    val osm = OsmPbf.read(pbfPath)
+    val rows = for {
+      w <- osm.ways
+      if w.refs.length >= 4 && w.refs.head == w.refs.last
+      ref <- w.refs.distinct
+    } yield (w.id, ref)
+    import spark.implicits._
+    rows.toDF("area_id", "node_id")
+  }
+
   /** Assemble a multipolygon relation: polygonize outer member ways, subtract
     * polygonized inner rings (best-effort ring joining via JTS). */
   def assembleMultiPolygon(r: OsmPbf.Relation,

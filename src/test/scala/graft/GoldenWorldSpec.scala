@@ -56,6 +56,33 @@ class GoldenWorldSpec extends SparkSuite {
     assert(n == 1)
   }
 
+  test("CLOSEST golden: nearest pub by walk network from Stable Street bridge is The Lighterman at 128-129m") {
+    import spark.implicits._
+    val edges = OsmWorld.networkEdges(spark, pbf)
+    val entrances = OsmWorld.areaEntrances(spark, pbf)
+    // areas tagged #amenity=pub, reached via their boundary entrance nodes
+    val pubs = world.where(col("id.ftype") === "area" &&
+        col("tags").getItem("#amenity") === "pub")
+      .select(col("id.value").as("area_id"), col("tags").getItem("name").as("name"))
+    val pubEntrances = pubs.join(entrances, "area_id")
+      .select(col("node_id").as("target"), col("area_id"), col("name"))
+    val origin = Seq(1540349979L).toDF("origin") // STABLE_STREET_BRIDGE_SOUTH_END
+    val d = graft.operators.Graph.reachable(edges, origin, 1000.0)
+    val best = d.join(pubEntrances, col("node") === col("target"))
+      .groupBy(col("area_id"), col("name"))
+      .agg(org.apache.spark.sql.functions.min(col("dist_m")).as("dist"))
+      .orderBy(col("dist"))
+      .collect()
+    assert(best.nonEmpty, "a pub must be reachable within 1km")
+    val top = best.head
+    assert(top.getAs[String]("name") == "The Lighterman", best.take(3).mkString(";"))
+    // the reference's mode=walk cost is WalkingTimeWeights: meters * speed
+    // with speed = 4500/3600 = 1.25 (graph/graph.go:20, :225-227 MULTIPLIES),
+    // so its golden 128..129 corresponds to a 102.4..103.2 m route
+    val cost = top.getAs[Double]("dist") * (4500.0 / 3600.0)
+    assert(cost > 128.0 && cost < 129.0, s"reference golden: 128 < cost < 129, got $cost")
+  }
+
   test("intersecting(square) via the engine's spatial plan matches JTS brute force") {
     import spark.implicits._
     val square = GeoOps.fromWkt(granarySquareWkt)

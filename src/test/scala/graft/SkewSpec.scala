@@ -1,0 +1,43 @@
+package graft
+
+import graft.model.Fixtures
+import graft.operators.SpatialJoins
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew/strategy evidence for the north rule: ~30% of fixture points collapse
+ * into one hot cell. The PIP join must produce identical rows whether Catalyst
+ * picks broadcast-hash or (hinted) shuffled sort-merge — at 10^12 scale the
+ * polygon side may exceed broadcast thresholds and AQE splits skewed
+ * partitions on exactly this sort-merge path.
+ */
+class SkewSpec extends SparkSuite {
+
+  test("PIP join rows identical under broadcast and sort-merge (AQE skew path)") {
+    val points = Fixtures.points(spark, sf001)
+    val broadcastPlan = SpatialJoins.pointInPolygonJoin(points, Fixtures.polygons(spark))
+      .select("point_id", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val merged = SpatialJoins.pointInPolygonJoin(points, Fixtures.polygons(spark).hint("merge"))
+    val mergePlanStr = merged.queryExecution.executedPlan.toString
+    val mergeRows = merged.select("point_id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mergeRows == broadcastPlan)
+    assert(mergePlanStr.contains("SortMergeJoin") || mergePlanStr.contains("ShuffledHashJoin"),
+      s"merge hint must force a shuffle join:\n${mergePlanStr.take(800)}")
+  }
+
+  test("hot-cell aggregation with salting equals the unsalted result") {
+    val points = Fixtures.points(spark, sf001)
+    val direct = points.groupBy("cell16").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // salt spreads the hot cell over 8 reducers, then a second agg merges
+    val salted = SpatialJoins.salted(points, "cell16", 8)
+      .groupBy(col("cell16"), col("__salt")).agg(count(lit(1)).as("pn"))
+      .groupBy(col("cell16")).agg(sum(col("pn")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == direct)
+    // the fixture really is skewed: the hottest cell holds >= 25% of rows
+    val hottest = direct.values.max.toDouble / direct.values.sum
+    assert(hottest >= 0.25, s"hot-cell share $hottest")
+  }
+}

@@ -117,13 +117,16 @@ object SpatialJoins {
       val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
       val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       // guarantee: any point outside disk `ring` is >= ring * minCellDim away.
-      // min cell dimension at the site's latitude (lng shrinks by cos(lat)).
+      // min cell dimension at the site's latitude (lng shrinks by cos(lat));
+      // the 0.95 margin covers points at latitudes where cells are narrower
+      // than at the site (cos varies across the disk).
       val guarantees = top.groupBy(col("site_id"))
         .agg(max(col("__dist")).as("kth"), count(lit(1)).as("n"), first(col(siteLat)).as("slat"))
         .withColumn("minDim", least(
           lit(degPerCell * metersPerDegLat),
           abs(cos(radians(col("slat")))) * lit(2.0 * degPerCell * metersPerDegLat)))
-        .withColumn("ok", col("n") === k && col("kth") <= lit(ring.toDouble) * col("minDim"))
+        .withColumn("ok", col("n") === k &&
+          col("kth") <= lit(ring.toDouble * 0.95) * col("minDim"))
       val sitesTotal = sites.count()
       val okCount = guarantees.where(col("ok")).count()
       val gridExhausted = ring >= (1L << level)

@@ -91,13 +91,33 @@ object GeoFunctions {
   }
 
   /** Distance along a path to the projection of a point
-    * (distance-to-point-meters, geometry.go:45-54). */
+    * (distance-to-point-meters, geometry.go:45-54). The projection is metric
+    * (lng scaled by cos(lat) like the reference's spherical projection) —
+    * projecting in raw degree space would bias the projected vertex. */
   def distanceToPointMeters(path: Geometry, lat: Double, lng: Double): Double = {
-    val lil = new org.locationtech.jts.linearref.LocationIndexedLine(path)
-    val loc = lil.project(new Coordinate(lng, lat))
-    // metric length of the sub-line up to the projection
-    val sub = lil.extractLine(lil.getStartIndex, loc)
-    GeoOps.wkbLengthMeters(GeoOps.toWkb(sub))
+    val cs = path.getCoordinates
+    val kx = EarthMetersPerDegLat * math.cos(math.toRadians(lat))
+    val ky = EarthMetersPerDegLat
+    val px = lng * kx; val py = lat * ky
+    var bestD = Double.MaxValue
+    var bestArc = 0.0
+    var arc = 0.0
+    var i = 1
+    while (i < cs.length) {
+      val ax = cs(i - 1).x * kx; val ay = cs(i - 1).y * ky
+      val bx = cs(i).x * kx; val by = cs(i).y * ky
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0 else math.max(0.0, math.min(1.0,
+        ((px - ax) * dx + (py - ay) * dy) / len2))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      val d = math.hypot(px - qx, py - qy)
+      val segLen = GeoOps.haversineMeters(cs(i - 1).y, cs(i - 1).x, cs(i).y, cs(i).x)
+      if (d < bestD) { bestD = d; bestArc = arc + t * segLen }
+      arc += segLen
+      i += 1
+    }
+    bestArc
   }
 
   // ---- Column API (UDFs) ----

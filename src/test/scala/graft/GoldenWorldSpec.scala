@@ -83,6 +83,27 @@ class GoldenWorldSpec extends SparkSuite {
     assert(cost > 128.0 && cost < 129.0, s"reference golden: 128 < cost < 129, got $cost")
   }
 
+  test("DISTANCE golden: distance along way 377974549 to a point is 24-25m (b6_test.py:360)") {
+    import spark.implicits._
+    val way = world.where(col("id.ftype") === "path" && col("id.value") === 377974549L)
+      .select("geom").as[Array[Byte]].collect()
+    assert(way.length == 1)
+    val d = graft.functions.GeoFunctions.distanceToPointMeters(
+      GeoOps.fromWkb(way(0)), 51.53586, -0.12564)
+    assert(d > 24.0 && d < 25.0, s"reference golden 24 < d < 25, got $d")
+  }
+
+  test("CENTROID golden: Lighterman centroid within 1m of the reference value (b6_test.py:365)") {
+    import spark.implicits._
+    val geom = world.where(col("id.ftype") === "area" && col("id.value") === 427900370L)
+      .select("geom").as[Array[Byte]].collect()
+    val (clat, clng) = graft.functions.GeoFunctions.centroid(GeoOps.fromWkb(geom(0)))
+    val d = GeoOps.haversineMeters(clat, clng, 51.5352611, -0.1243803)
+    // the reference computes the hull centroid in S2 space; ours is planar —
+    // sub-meter agreement at building scale
+    assert(d < 1.0, s"centroid off by ${d}m")
+  }
+
   test("intersecting(square) via the engine's spatial plan matches JTS brute force") {
     import spark.implicits._
     val square = GeoOps.fromWkt(granarySquareWkt)

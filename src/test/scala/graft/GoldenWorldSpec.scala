@@ -104,6 +104,25 @@ class GoldenWorldSpec extends SparkSuite {
     assert(d < 1.0, s"centroid off by ${d}m")
   }
 
+  test("COMPOSITION golden: reachable(walk,1000) | containing-areas(#shop) includes Coal Drops Yard (b6_test.py:163)") {
+    import spark.implicits._
+    val edges = OsmWorld.networkEdges(spark, pbf)
+      .withColumn("cost_m", col("cost_m") * 1.25) // reference walk cost = meters * speed
+    val origin = Seq(1540349979L).toDF("origin")
+    val reached = graft.operators.Graph.reachable(edges, origin, 1000.0)
+    // reached node ids -> point features -> containing #shop areas (PIP join)
+    val reachedPts = world.where(col("id.ftype") === "point")
+      .join(reached, col("id.value") === col("node"))
+      .select(col("id.value").as("point_id"), col("lat"), col("lng"), col("cell16"))
+    val shops = world.where(col("id.ftype") === "area" &&
+        col("tags").getItem("#shop").isNotNull)
+      .select(col("id.value").as("poly_id"), col("geom"), col("covering"),
+        col("tags").getItem("name").as("name"))
+    val names = graft.operators.SpatialJoins.pointInPolygonJoin(reachedPts, shops)
+      .select("name").distinct().as[String].collect().toSet
+    assert(names.contains("Coal Drops Yard"), s"got $names")
+  }
+
   test("intersecting(square) via the engine's spatial plan matches JTS brute force") {
     import spark.implicits._
     val square = GeoOps.fromWkt(granarySquareWkt)

@@ -179,27 +179,45 @@ object SparkEntry {
     }),
 
     // -- graph reachability (SURVEY §2.B graph operators) --
+    // all gr_* run on the seeded 12x12 street grid whose edges are ALSO
+    // embedded verbatim in the DuckDB oracles (same driver-computed doubles),
+    // so shortest-path sums are bit-identical across engines.
     "gr_reachable" -> ((s, d) => {
       import s.implicits._
-      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
-      val origins = Seq(0L, 450L, 899L).toDF("origin")
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      val origins = Seq(0L, 71L, 143L).toDF("origin")
       graft.operators.Graph.reachable(edges, origins, 1200.0)
         .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"))
         .orderBy("origin", "node")
     }),
     "gr_closest" -> ((s, d) => {
       import s.implicits._
-      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
-      val origins = Seq(0L, 450L, 899L).toDF("origin")
-      val targets = Seq(155L, 310L, 465L, 620L, 775L).toDF("target")
-      graft.operators.Graph.closest(edges, origins, targets, 2500.0)
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      val origins = Seq(0L, 71L, 143L).toDF("origin")
+      val targets = Seq(27L, 60L, 105L).toDF("target")
+      graft.operators.Graph.closest(edges, origins, targets, 1200.0)
         .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"))
         .orderBy("origin")
+    }),
+    "gr_paths" -> ((s, d) => {
+      import s.implicits._
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      graft.operators.Graph.pathsToReach(edges, Seq(0L).toDF("origin"), 900.0)
+        .orderBy("src", "dst")
+    }),
+    "gr_filter_acc" -> ((s, d) => {
+      import s.implicits._
+      val (nodes, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      val od = graft.operators.Graph.reachable(
+        edges, Seq(0L, 143L).toDF("origin"), 700.0).select("origin", "node")
+      val survivors = nodes.where(col("node_id") >= 100).select("node_id")
+      graft.operators.Graph.filterAccessible(od, survivors)
+        .orderBy("origin", "node")
     }),
 
     "gr_degree" -> ((s, d) => {
       // degree (features.go:212-219): segments meeting at each node
-      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 30)
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
       edges.groupBy(col("src").as("node_id")).agg(count(lit(1)).as("degree"))
         .orderBy("node_id")
     }),
@@ -274,12 +292,13 @@ object SparkEntry {
 
     // -- vertex plane: points / sample-points --
     "pt_points" -> ((s, d) => graft.operators.Paths.points(Fixtures.polygons(s))
-      .select(col("poly_id"), col("vertex_idx"), col("vlat"), col("vlng"))
+      .select(col("poly_id"), col("vertex_idx").cast("long").as("vertex_idx"),
+        col("vlat"), col("vlng"))
       .orderBy("poly_id", "vertex_idx")),
     "gr_routes" -> ((s, d) => {
       import s.implicits._
-      val (_, edges) = graft.operators.Graph.syntheticGrid(s, 20)
-      graft.operators.Graph.reachableWithParents(edges, Seq(0L, 210L).toDF("origin"), 1200.0)
+      val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      graft.operators.Graph.reachableWithParents(edges, Seq(0L, 71L).toDF("origin"), 900.0)
         .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"), col("parent"))
         .orderBy("origin", "node")
     }),
@@ -323,6 +342,43 @@ object SparkEntry {
 
   private def hav(lat2: String, lng2: String) =
     Fixtures.haversineSql("p.lat", "p.lng", lat2, lng2)
+
+  /** Shared street-grid size for the gr_* queries and their oracles. */
+  private val gridN = 12
+
+  /** The grid's (undirected) edges as a DuckDB VALUES CTE — the SAME
+    * driver-computed doubles the Spark grid uses, so path sums (pure `+`)
+    * are bit-identical across engines. */
+  private lazy val gridEdgesCte: String = {
+    val (_, e) = graft.operators.Graph.syntheticGridRows(gridN)
+    val both = e ++ e.map(x => (x._2, x._1, x._3))
+    val values = both.map { case (s, d, c) => s"($s,$d,$c)" }.mkString(", ")
+    s"e AS (SELECT CAST(c0 AS BIGINT) AS src, CAST(c1 AS BIGINT) AS dst, " +
+      s"CAST(c2 AS DOUBLE) AS cost_m FROM (VALUES $values) t(c0, c1, c2))"
+  }
+
+  /** Budget-bounded shortest-path distances as a recursive CTE: enumerate all
+    * walks with cost < budget (positive edge costs terminate the recursion),
+    * then min per (origin, node) — Dijkstra's fixpoint, declaratively. */
+  private def walkCtes(origins: Seq[Long], budget: Double): String = {
+    val ovals = origins.map(o => s"($o)").mkString(", ")
+    s"""o AS (SELECT CAST(c0 AS BIGINT) AS origin FROM (VALUES $ovals) t(c0)),
+       |walk(origin, node, dist) AS (
+       |  SELECT origin, origin, CAST(0.0 AS DOUBLE) FROM o
+       |  UNION ALL
+       |  SELECT w.origin, e.dst, w.dist + e.cost_m FROM walk w JOIN e ON w.node = e.src
+       |  WHERE w.dist + e.cost_m < $budget),
+       |d AS (SELECT origin, node, min(dist) AS dist_m FROM walk GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Parent pointers: the smallest tight predecessor per reached node — the
+    * engine's deterministic tiebreak (Graph.dijkstra). */
+  private val parCte: String =
+    """par AS (SELECT d.origin, d.node, min(e.src) AS parent
+      |  FROM d JOIN e ON e.dst = d.node
+      |  JOIN d dp ON dp.origin = d.origin AND dp.node = e.src
+      |    AND dp.dist_m + e.cost_m = d.dist_m
+      |  WHERE d.node <> d.origin GROUP BY 1, 2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "qa_tagged" ->
@@ -464,12 +520,75 @@ object SparkEntry {
          |WHERE p.point_id % 100 = 0 AND $d < 3000.0
          |GROUP BY 1 ORDER BY qid""".stripMargin
     },
-    // gr_reachable / gr_closest / geo_scalar: iterative shortest paths and JTS
-    // geometry are not ANSI-SQL-expressible — rows-only; exactness covered by
-    // the ScalaTest Dijkstra / shoelace oracles.
+    // -- graph plane: recursive-CTE shortest paths over the literal grid --
+    "gr_reachable" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 71L, 143L), 1200.0)}
+         |SELECT origin, node, round(dist_m, 3) AS dist_m FROM d
+         |ORDER BY origin, node""".stripMargin,
+    "gr_routes" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 71L), 900.0)}, $parCte
+         |SELECT d.origin, d.node, round(d.dist_m, 3) AS dist_m, par.parent
+         |FROM d LEFT JOIN par ON par.origin = d.origin AND par.node = d.node
+         |ORDER BY d.origin, d.node""".stripMargin,
+    "gr_closest" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 71L, 143L), 1200.0)}
+         |SELECT origin, node, round(dist_m, 3) AS dist_m FROM (
+         |  SELECT d.origin, d.node, d.dist_m,
+         |    row_number() OVER (PARTITION BY d.origin ORDER BY d.dist_m, d.node) AS rn
+         |  FROM d WHERE d.node IN (27, 60, 105))
+         |WHERE rn = 1 ORDER BY origin""".stripMargin,
+    "gr_paths" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L), 900.0)}, $parCte,
+         |chain(dest, node) AS (
+         |  SELECT node, node FROM d WHERE node <> origin
+         |  UNION ALL
+         |  SELECT c.dest, p.parent FROM chain c JOIN par p ON p.node = c.node)
+         |SELECT p.parent AS src, c.node AS dst, CAST(count(*) AS BIGINT) AS n_paths
+         |FROM chain c JOIN par p ON p.node = c.node
+         |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+    "gr_filter_acc" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 143L), 700.0)},
+         |kept AS (SELECT origin, node FROM d WHERE node >= 100)
+         |SELECT origin, node FROM kept
+         |UNION ALL
+         |SELECT origin, CAST(-1 AS BIGINT) AS node FROM (SELECT DISTINCT origin FROM d)
+         |WHERE origin NOT IN (SELECT DISTINCT origin FROM kept)
+         |ORDER BY origin, node""".stripMargin,
+    "gr_degree" ->
+      s"""WITH $gridEdgesCte
+         |SELECT src AS node_id, count(*) AS degree FROM e
+         |GROUP BY 1 ORDER BY node_id""".stripMargin,
+
+    // -- vertex plane: literal polygon rings (closed, like JTS coordinates) --
+    "pt_points" -> {
+      val rows = Fixtures.convexPolygons.flatMap { case (id, _, ring) =>
+        (ring :+ ring.head).zipWithIndex.map { case ((x, y), i) => s"($id,$i,$y,$x)" }
+      }
+      s"""SELECT CAST(c0 AS BIGINT) AS poly_id, CAST(c1 AS BIGINT) AS vertex_idx,
+         |  CAST(c2 AS DOUBLE) AS vlat, CAST(c3 AS DOUBLE) AS vlng
+         |FROM (VALUES ${rows.mkString(", ")}) t(c0, c1, c2, c3)
+         |ORDER BY poly_id, vertex_idx""".stripMargin
+    },
+
+    // -- exact cosine top-k: DuckDB list_dot_product is a sequential double
+    //    accumulation, bit-identical to Spark's aggregate(zip_with(...)) --
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
+        |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // geo_scalar / geo_hull: JTS geometry (shoelace areas, hulls) is not
+    // ANSI-SQL-expressible without trig — rows-only; exactness covered by the
+    // ScalaTest shoelace/hull oracles.
     // td_fingerprint / td_minhash_pairs / td_simhash / td_ngram_jaccard /
-    // ann_topk / ann_lsh / mm_decode: not ANSI-SQL-expressible (rolling hashes,
-    // LSH banding, float top-k, binary decode) — rows-only check; exactness is
-    // covered by the ScalaTest brute-force oracles instead.
+    // ann_lsh / mm_decode / sj_tile_fid: not DuckDB-expressible (xxhash64
+    // chains, LSH banding, binary decode, FNV-64 over bytes) — rows-only
+    // check; exactness is covered by the ScalaTest brute-force oracles.
   )
 }

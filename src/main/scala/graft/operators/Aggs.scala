@@ -41,14 +41,24 @@ object Aggs {
 
   /**
    * percentiles (math.go:85-115): sort ascending; each value maps to
-   * firstIndexOfThatValue / n — i.e. (rank() - 1) / count(*), ties sharing the
-   * first index.
+   * firstIndexOfThatValue / n — ties share the first index.
+   *
+   * Scale shape: the window runs over the AGGREGATED DISTINCT values (like
+   * histogramUniform), never over the raw rows — an unpartitioned window over
+   * the data itself would funnel everything through one task. The per-row
+   * result comes back via an equi-join on the value, and the total row count
+   * is a window sum over the same distinct set (no second scan).
    */
   def percentiles(df: DataFrame, valueCol: String): DataFrame = {
     val w = Window.orderBy(col(valueCol))
-    val n = df.count()
-    df.withColumn("percentile",
-      (rank().over(w) - lit(1)).cast("double") / lit(n.toDouble))
+    val ranked = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__first",
+        sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__c"))
+      .withColumn("percentile",
+        col("__first").cast("double") / sum(col("__c")).over().cast("double"))
+      .select(col(valueCol), col("percentile"))
+    df.join(ranked, Seq(valueCol))
   }
 
   /**

@@ -38,36 +38,53 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h_{p,d} in {-1, +1}. */
-  private def hyperplaneSign(p: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
-    when(xxhash64(p, d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Signed-random-projection bucket id over `bits` hyperplanes. */
-  def srpBucket(vecCol: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
-    val planeDots = transform(sequence(lit(0), lit(bits - 1)), p =>
-      aggregate(zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-        (v, d) => v.cast("double") * hyperplaneSign(p, d)),
-        lit(0.0), (acc, v) => acc + v))
-    aggregate(
-      zip_with(planeDots, sequence(lit(0), lit(bits - 1)),
-        (pd, p) => when(pd > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** Deterministic Rademacher (+1/-1) hyperplanes, PRECOMPUTED on the driver
+    * and broadcast — one multiply-add per (table × bit × dim) component in
+    * tight JVM loops, instead of a hash call per component per row (the
+    * round-1 plan cost ~10^5 xxhash64 calls per 768-dim row). */
+  private[graft] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(tables * bits) { p =>
+      Array.tabulate(dim) { d =>
+        if ((graft.model.Fixtures.splitmix64(p.toLong * 1000003L + d) & 1L) == 1L) 1.0f else -1.0f
+      }
+    }
 
   /**
-   * LSH-bucketed approximate NN: join on SRP bucket (optionally multi-probe
-   * with `tables` independent hash tables), then exact cosine within buckets.
+   * LSH-bucketed approximate NN: join on signed-random-projection bucket over
+   * `tables` independent hash tables, then exact cosine within buckets.
    * Recall < 1 by construction; tested against the brute-force baseline.
+   * Scale shape: the shuffle key is (table, bucket) — candidates meet by
+   * bucket equi-join, never a cross join; the plane matrix is broadcast.
    */
   def cosineLsh(data: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
                 tables: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val t = explode(sequence(lit(0), lit(tables - 1)))
+    val spark = data.sparkSession
+    val dim = data.select(size(col(vecCol))).head.getInt(0)
+    val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
+    val buckets = udf { (vec: Seq[Float]) =>
+      val pl = bp.value
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var b = 0L; var p = 0
+        while (p < bits) {
+          val plane = pl(t * bits + p)
+          var s = 0.0; var i = 0
+          val n = math.min(vec.length, plane.length)
+          while (i < n) { s += vec(i).toDouble * plane(i); i += 1 }
+          if (s > 0) b |= (1L << p)
+          p += 1
+        }
+        out(t) = b; t += 1
+      }
+      out
+    }
     def withBuckets(df: DataFrame, vc: String) = df
-      .withColumn("__t", t)
-      // per-table hyperplanes: offset the plane index by table * bits
-      .withColumn("__bucket", srpBucketOffset(col(vc), bits, col("__t")))
+      .withColumn("__bs", buckets(col(vc)))
+      .select(col("*"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))
+      .drop("__bs")
     val d = withBuckets(data, vecCol)
     val q = withBuckets(queries, qvecCol)
     val cand = d.join(broadcast(q), Seq("__t", "__bucket"))
@@ -78,17 +95,5 @@ object Ann {
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))
-  }
-
-  private def srpBucketOffset(vecCol: org.apache.spark.sql.Column, bits: Int,
-                              table: org.apache.spark.sql.Column) = {
-    val planeDots = transform(sequence(lit(0), lit(bits - 1)), p =>
-      aggregate(zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-        (v, d) => v.cast("double") * hyperplaneSign(p + table * bits, d)),
-        lit(0.0), (acc, v) => acc + v))
-    aggregate(
-      zip_with(planeDots, sequence(lit(0), lit(bits - 1)),
-        (pd, p) => when(pd > 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 }

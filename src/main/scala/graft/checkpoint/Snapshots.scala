@@ -28,14 +28,28 @@ object Snapshots {
 
   private def snapsDir(root: String): Path = Paths.get(root, "_snapshots")
 
-  def latest(root: String): Option[Snapshot] = {
+  /** Committed snapshot ids, oldest first (stream closed eagerly — repeated
+    * commits must not leak file descriptors). */
+  private def committedIds(root: String): Seq[Long] = {
     val dir = snapsDir(root)
-    if (!Files.exists(dir)) return None
-    val ids = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).toSeq
-    ids.sorted.lastOption.map(id => read(root, id))
+    if (!Files.exists(dir)) return Nil
+    val stream = Files.list(dir)
+    try {
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).toSeq.sorted
+    } finally stream.close()
   }
+
+  def latest(root: String): Option[Snapshot] =
+    committedIds(root).lastOption.map(id => read(root, id))
+
+  /** Newest committed snapshot for a given table — the resume lookup: in a
+    * multi-stage pipeline an earlier stage's snapshot is found even when later
+    * stages have committed on top of it. */
+  def latestFor(root: String, table: String): Option[Snapshot] =
+    committedIds(root).reverseIterator.map(id => read(root, id))
+      .find(_.table == table)
 
   def read(root: String, id: Long): Snapshot = {
     val json = Files.readString(snapsDir(root).resolve(s"$id.json"))
@@ -81,13 +95,16 @@ object Snapshots {
     snap
   }
 
-  /** Run `stage` unless its output snapshot already exists (resume path). */
+  /** Run `stage` unless its output snapshot already exists (resume path):
+    * ANY committed snapshot of `table` is reused, so resuming a multi-stage
+    * pipeline skips every stage that already committed instead of re-running
+    * and re-appending the earlier ones. */
   def stage(spark: SparkSession, root: String, table: String,
             lineage: Seq[String])(body: => DataFrame): DataFrame = {
-    latest(root) match {
-      case Some(s) if s.table == table =>
+    latestFor(root, table) match {
+      case Some(s) =>
         spark.read.parquet(s.dataPath)
-      case _ =>
+      case None =>
         val snap = commit(body, root, table, lineage)
         spark.read.parquet(snap.dataPath)
     }

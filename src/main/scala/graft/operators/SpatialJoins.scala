@@ -31,7 +31,8 @@ object SpatialJoins {
                          geomCol: String = "geom",
                          coveringCol: String = "covering",
                          knownLevels: Option[Seq[Int]] = None,
-                         normalizeLevel: Option[Int] = None): DataFrame = {
+                         normalizeLevel: Option[Int] = None,
+                         polyIdCol: String = "poly_id"): DataFrame = {
     graft.functions.CellExprs.install(points.sparkSession)
     normalizeLevel match {
       case Some(nl) =>
@@ -44,7 +45,7 @@ object SpatialJoins {
         val polyCells = polygons
           .withColumn("__jcell", explode(col(coveringCol)))
           .withColumn("__jcell", explode(norm(col("__jcell"))))
-          .dropDuplicates("poly_id", "__jcell")
+          .dropDuplicates(polyIdCol, "__jcell")
         val keyed = points.withColumn("__jcell", cell_parent_at(col(pointCell), lit(nl)))
         keyed.join(polyCells, "__jcell")
           .where(wkb_covers_point(col(geomCol), col("lat"), col("lng")))
@@ -104,36 +105,50 @@ object SpatialJoins {
 
     val pCellAtLevel = cell_parent_at(col(pointCell), lit(level))
     val pts = points.withColumn("__pc", pCellAtLevel)
+    val sitesTotal = sites.count() // invariant — hoisted out of the ring loop
 
     var ring = 1 // disk radius of the CURRENT candidate set
+    var prevRing = 0 // radius already scanned (annulus growth, not rescans)
     var done = false
+    var cand: DataFrame = null
     var result: DataFrame = null
     while (!done) {
-      val siteCells = sites
-        .withColumn("__sc", explode(cell_neighbor_disk(
-          cell_of(col(siteLat), col(siteLng), lit(level)), lit(ring))))
-      val cand = pts.join(broadcast(siteCells), col("__pc") === col("__sc"))
+      // only the NEW annulus of cells joins against the big side; earlier
+      // rings' candidates are accumulated, so each doubling scans the probe
+      // table once for the delta instead of re-scanning the whole disk
+      val siteCell = cell_of(col(siteLat), col(siteLng), lit(level))
+      val annulus =
+        if (prevRing == 0) cell_neighbor_disk(siteCell, lit(ring))
+        else array_except(cell_neighbor_disk(siteCell, lit(ring)),
+          cell_neighbor_disk(siteCell, lit(prevRing)))
+      val siteCells = sites.withColumn("__sc", explode(annulus))
+      val delta = pts.join(broadcast(siteCells), col("__pc") === col("__sc"))
         .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
+      cand = if (cand == null) delta else cand.unionByName(delta)
       val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
       val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       // guarantee: any point outside disk `ring` is >= ring * minCellDim away.
-      // min cell dimension at the site's latitude (lng shrinks by cos(lat));
-      // the 0.95 margin covers points at latitudes where cells are narrower
-      // than at the site (cos varies across the disk).
+      // The longitudinal cell width must be evaluated at the DISK'S EXTREME
+      // latitude (|site lat| + (ring+1) cells, clamped to the pole) — a fixed
+      // margin at the site's own latitude under-covers high-latitude disks
+      // where the cells at the disk edge are materially narrower. The 0.99
+      // covers the sin(dLng/2) curvature of the haversine lower bound.
+      val extremeLat = least(lit(90.0),
+        abs(col("slat")) + lit((ring + 1).toDouble * degPerCell))
       val guarantees = top.groupBy(col("site_id"))
         .agg(max(col("__dist")).as("kth"), count(lit(1)).as("n"), first(col(siteLat)).as("slat"))
         .withColumn("minDim", least(
           lit(degPerCell * metersPerDegLat),
-          abs(cos(radians(col("slat")))) * lit(2.0 * degPerCell * metersPerDegLat)))
+          cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat)))
         .withColumn("ok", col("n") === k &&
-          col("kth") <= lit(ring.toDouble * 0.95) * col("minDim"))
-      val sitesTotal = sites.count()
+          col("kth") <= lit(ring.toDouble) * col("minDim"))
       val okCount = guarantees.where(col("ok")).count()
       val gridExhausted = ring >= (1L << level)
       if (okCount == sitesTotal || gridExhausted) {
         result = top.drop("__pc", "__sc")
         done = true
       } else {
+        prevRing = ring
         ring *= 2
       }
     }

@@ -79,20 +79,29 @@ object Mvt {
       if (close) out += (7L | (1L << 3)) // ClosePath, count 1
       out.result()
     }
+    // MVT 2.1 requires exteriors with POSITIVE surveyor's-formula area in
+    // y-DOWN tile coords (visually clockwise); the reference relies on S2's
+    // canonical loop orientation for this (renderer/encoder.go:90-93). JTS
+    // stores whatever the source had, so normalise in lon/lat: the worldY
+    // flip negates the shoelace sign, so exteriors must be CW in lon/lat
+    // (negative lon/lat shoelace) and interiors CCW.
+    def oriented(cs: Array[Coordinate], wantCcwLonLat: Boolean): Array[Coordinate] =
+      if (org.locationtech.jts.algorithm.Orientation.isCCW(cs) == wantCcwLonLat) cs
+      else cs.reverse
+    def polygonCmds(p: Polygon): Seq[Long] =
+      encodeLine(oriented(p.getExteriorRing.getCoordinates, wantCcwLonLat = false), close = true) ++
+        (0 until p.getNumInteriorRing).flatMap(i =>
+          encodeLine(oriented(p.getInteriorRingN(i).getCoordinates, wantCcwLonLat = true), close = true))
     g match {
       case p: Point =>
         (1, encodeLine(Array(p.getCoordinate), close = false))
       case l: LineString =>
         (2, encodeLine(l.getCoordinates, close = false))
       case p: Polygon =>
-        val rings = (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
-        (3, rings.flatMap(r => encodeLine(r.getCoordinates, close = true)))
+        (3, polygonCmds(p))
       case mp: MultiPolygon =>
         val polys = (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon])
-        (3, polys.flatMap { p =>
-          (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
-            .flatMap(r => encodeLine(r.getCoordinates, close = true))
-        })
+        (3, polys.flatMap(polygonCmds))
       case other =>
         (1, encodeLine(Array(other.getCentroid.getCoordinate), close = false))
     }

@@ -11,8 +11,10 @@ import graft.functions.CellExprs
  * (src/diagonal.works/b6/ingest/osm.go):
  *  - tag mapping: the listed OSM keys become '#'-indexed (searchable) keys,
  *    fhrs:id/wikidata/wikipedia become '@'-indexed (osm.go:136-156);
- *  - every node -> a point feature; every way -> a path feature; closed ways
- *    (first ref == last ref) ADDITIONALLY -> an area feature (osm.go:349-360);
+ *  - every node -> a point feature; open ways -> path features; closed ways
+ *    (first ref == last ref) become area features INSTEAD of path features
+ *    (osm.go:349-360; validated by the golden counts: 117 paths, 5 highway
+ *    areas — do not emit both without re-deriving those goldens);
  *  - relations tagged type=multipolygon -> area features assembled from their
  *    member ways (osm.go:218-222, :315);
  *  - namespaces openstreetmap.org/node|way|relation (ingest/osm.go:14-32).

@@ -33,6 +33,41 @@ class RenderSpec extends SparkSuite {
     assert(cmds.head == ((1 << 3) | 1).toLong) // MoveTo
   }
 
+  test("MVT polygon winding is normalized regardless of stored orientation") {
+    // MVT 2.1: exterior rings must have positive surveyor's-formula area in
+    // y-down tile coords (≙ reference renderer/encoder.go:90-93 relying on S2
+    // canonical orientation). Encode the same square stored CW and CCW — both
+    // must decode to the same, positive-area exterior.
+    val z = 14
+    val ccw = GeoOps.fromWkt("POLYGON ((-0.13 51.53, -0.12 51.53, -0.12 51.54, -0.13 51.54, -0.13 51.53))")
+    val cw = GeoOps.fromWkt("POLYGON ((-0.13 51.53, -0.13 51.54, -0.12 51.54, -0.12 51.53, -0.13 51.53))")
+    val tx = GeoOps.tileX(-0.125, z); val ty = GeoOps.tileY(51.535, z)
+    def unzig(v: Long): Long = (v >>> 1) ^ -(v & 1)
+    def ringArea2(cmds: Seq[Long]): Long = {
+      // decode MoveTo(1) + LineTo(n-1) + ClosePath into ring vertices
+      assert(cmds.head == ((1 << 3) | 1))
+      var i = 1; var cx = 0L; var cy = 0L
+      val pts = Seq.newBuilder[(Long, Long)]
+      cx += unzig(cmds(i)); cy += unzig(cmds(i + 1)); i += 2
+      pts += ((cx, cy))
+      val lineTo = cmds(i); i += 1
+      val n = (lineTo >>> 3).toInt
+      (0 until n).foreach { _ =>
+        cx += unzig(cmds(i)); cy += unzig(cmds(i + 1)); i += 2
+        pts += ((cx, cy))
+      }
+      val ring = pts.result()
+      ring.indices.map { j =>
+        val (x1, y1) = ring(j); val (x2, y2) = ring((j + 1) % ring.length)
+        x1 * y2 - x2 * y1
+      }.sum
+    }
+    val a1 = ringArea2(Mvt.geometryCommands(ccw, z, tx, ty)._2)
+    val a2 = ringArea2(Mvt.geometryCommands(cw, z, tx, ty)._2)
+    assert(a1 == a2, s"windings differ: $a1 vs $a2")
+    assert(a1 > 0, s"exterior ring must have positive y-down area, got $a1")
+  }
+
   test("renderTiles produces decodable per-tile binaries with layers sorted") {
     val feats = Fixtures.polygons(spark)
       .select(col("poly_id").as("fid"), col("tag").as("layer"), col("geom"),

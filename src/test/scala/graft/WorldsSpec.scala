@@ -44,4 +44,19 @@ class WorldsSpec extends SparkSuite {
     val s2 = Snapshots.commit(df.limit(1), root, "features", Seq("snap-0"))
     assert(s2.id == 1 && Snapshots.latest(root).get.rows == 1)
   }
+
+  test("snapshot resume is per-table: earlier stages skip even after later commits") {
+    val root = java.nio.file.Files.createTempDirectory("snaps2").toString
+    val a = Seq((1L, "a")).toDF("id", "v")
+    val b = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    var ranA = 0; var ranB = 0
+    Snapshots.stage(spark, root, "stage_a", Nil) { ranA += 1; a }
+    Snapshots.stage(spark, root, "stage_b", Seq("stage_a")) { ranB += 1; b }
+    // resume the whole pipeline: NEITHER stage re-runs, no duplicate snapshots
+    val backA = Snapshots.stage(spark, root, "stage_a", Nil) { ranA += 1; a }
+    val backB = Snapshots.stage(spark, root, "stage_b", Seq("stage_a")) { ranB += 1; b }
+    assert(ranA == 1 && ranB == 1)
+    assert(backA.count() == 1 && backB.count() == 2)
+    assert(Snapshots.latest(root).get.id == 1, "no duplicate snapshots appended on resume")
+  }
 }

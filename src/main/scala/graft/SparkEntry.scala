@@ -222,6 +222,21 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // -- relations / reference joins (world.go:1313-1319, features.go:362-406) --
+    "rel_members" -> ((s, d) => {
+      // deterministic synthetic membership: every point belongs to relation
+      // (point_id % 50) at position (point_id div 50)
+      val refs = Fixtures.points(s, d).select(
+        lit("relation").as("from_type"),
+        (col("point_id") % 50).as("from_id"),
+        lit("point").as("to_type"),
+        col("point_id").as("to_id"),
+        concat(lit("role-"), (col("point_id") % 3).cast("string")).as("role"),
+        expr("point_id div 50").as("pos"))
+      graft.operators.Relations.members(refs, 7L)
+        .select("from_id", "pos", "to_id", "role")
+    }),
+
     // -- map/filter plane (map.go:12-67, collections.go:215-274) --
     "co_map_filter" -> ((s, d) => Fixtures.points(s, d)
       .withColumn("score", col("lat") * 2.0 + col("lng"))
@@ -520,6 +535,11 @@ object SparkEntry {
          |WHERE p.point_id % 100 = 0 AND $d < 3000.0
          |GROUP BY 1 ORDER BY qid""".stripMargin
     },
+    "rel_members" ->
+      """SELECT CAST(event_id % 50 AS BIGINT) AS from_id, event_id // 50 AS pos,
+        |  event_id AS to_id, concat('role-', CAST(event_id % 3 AS VARCHAR)) AS role
+        |FROM events WHERE event_id % 50 = 7 ORDER BY pos""".stripMargin,
+
     // -- graph plane: recursive-CTE shortest paths over the literal grid --
     "gr_reachable" ->
       s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 71L, 143L), 1200.0)}

@@ -65,6 +65,110 @@ object OsmPbf {
 
   // ---- blob framing ----------------------------------------------------------
 
+  /** One length-prefixed blob in the file: [4-byte BE header length][header]
+    * [data]. Framing is sequential but cheap (header bytes only, data skipped
+    * by seek) — the driver scans it, the BLOCKS decode in parallel
+    * (≙ the reference's block-parallel decode, osm/pbf.go:123-160). */
+  case class BlobRange(dataOffset: Long, dataSize: Int, blobType: String)
+
+  def blobRanges(path: String): Seq[BlobRange] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val out = Seq.newBuilder[BlobRange]
+      var pos = 0L
+      val len = raf.length()
+      while (pos + 4 <= len) {
+        raf.seek(pos)
+        val headerLen = raf.readInt()
+        val header = new Array[Byte](headerLen)
+        raf.readFully(header)
+        val hr = new Reader(header, 0, headerLen)
+        var blobType = ""
+        var dataSize = 0
+        while (hr.hasMore) {
+          val key = hr.varint()
+          (key >>> 3).toInt match {
+            case 1 => val (off, l) = hr.bytes(); blobType = new String(header, off, l, "UTF-8")
+            case 3 => dataSize = hr.varint().toInt
+            case _ => hr.skip((key & 7).toInt)
+          }
+        }
+        out += BlobRange(pos + 4 + headerLen, dataSize, blobType)
+        pos += 4 + headerLen + dataSize
+      }
+      out.result()
+    } finally raf.close()
+  }
+
+  /** Decode one blob's primitives given its raw [data] bytes. */
+  def decodeBlob(data: Array[Byte]): Osm = {
+    val br = new Reader(data, 0, data.length)
+    var raw: Array[Byte] = null
+    var rawSize = 0
+    var zlib: (Int, Int) = null
+    while (br.hasMore) {
+      val key = br.varint()
+      (key >>> 3).toInt match {
+        case 1 => val (off, len) = br.bytes(); raw = java.util.Arrays.copyOfRange(data, off, off + len)
+        case 2 => rawSize = br.varint().toInt
+        case 3 => zlib = br.bytes()
+        case _ => br.skip((key & 7).toInt)
+      }
+    }
+    val payload: Array[Byte] =
+      if (raw != null) raw
+      else {
+        val inf = new Inflater()
+        inf.setInput(data, zlib._1, zlib._2)
+        val out = new Array[Byte](rawSize)
+        var n = 0
+        while (n < rawSize && !inf.finished()) n += inf.inflate(out, n, rawSize - n)
+        inf.end()
+        out
+      }
+    val nodes = Vector.newBuilder[Node]
+    val ways = Vector.newBuilder[Way]
+    val rels = Vector.newBuilder[Relation]
+    parsePrimitiveBlock(payload, nodes, ways, rels)
+    Osm(nodes.result(), ways.result(), rels.result())
+  }
+
+  /** Flat row for the Spark-side reader: kind 0=node, 1=way, 2=relation. */
+  case class MemberRow(ref: Long, mtype: Int, role: String)
+  case class RawRow(kind: Int, id: Long, lat: Double, lon: Double,
+                    tags: Map[String, String], refs: Array[Long],
+                    members: Array[MemberRow])
+
+  /**
+   * Distributed decode: the driver scans only the blob framing (header bytes);
+   * each task seeks into the file and decodes its own blocks — the ingest
+   * plan the reference uses with goroutines (osm/pbf.go:123-160), here as
+   * partitions. Returns one DataFrame of RawRow.
+   */
+  def readSpark(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[RawRow] = {
+    import spark.implicits._
+    val ranges = blobRanges(path).filter(_.blobType == "OSMData")
+    val slices = math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(ranges, slices).mapPartitions { it =>
+      val rows = Vector.newBuilder[RawRow]
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try {
+        it.foreach { r =>
+          val data = new Array[Byte](r.dataSize)
+          raf.seek(r.dataOffset)
+          raf.readFully(data)
+          val osm = decodeBlob(data)
+          osm.nodes.foreach(n => rows += RawRow(0, n.id, n.lat, n.lon, n.tags, Array.empty, Array.empty))
+          osm.ways.foreach(w => rows += RawRow(1, w.id, 0.0, 0.0, w.tags, w.refs, Array.empty))
+          osm.relations.foreach(rel => rows += RawRow(2, rel.id, 0.0, 0.0, rel.tags, Array.empty,
+            rel.members.map(m => MemberRow(m.ref, m.mtype, m.role))))
+        }
+      } finally raf.close()
+      rows.result().iterator
+    }.toDS()
+  }
+
   def read(path: String): Osm = {
     val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     var pos = 0

@@ -107,6 +107,136 @@ object OsmWorld {
   }
 
   /**
+   * Distributed ingest: the driver scans only the PBF blob framing; blocks
+   * decode in executor tasks (OsmPbf.readSpark ≙ reference osm/pbf.go:123-160
+   * block-parallel decode) and way/relation assembly happens as JOINS against
+   * the node table — no whole-file driver parse, so extract size is bounded by
+   * cluster memory, not driver memory. Produces rows identical to
+   * `features()` (asserted by DistributedOsmSpec).
+   */
+  def featuresDistributed(spark: SparkSession, pbfPath: String): DataFrame = {
+    CellExprs.install(spark)
+    import spark.implicits._
+    val raw = OsmPbf.readSpark(spark, pbfPath).cache()
+    val nodes = raw.filter(_.kind == 0).toDF().select(col("id"), col("lat"), col("lon"), col("tags"))
+    val ways = raw.filter(_.kind == 1).toDF().select(col("id"), col("refs"), col("tags"))
+    val rels = raw.filter(_.kind == 2).toDF().select(col("id"), col("members"), col("tags"))
+
+    val pointRows = nodes.as[(Long, Double, Double, Map[String, String])].map {
+      case (id, lat, lon, tags) =>
+        FeatureRow("point", "openstreetmap.org/node", id, mapTags(tags),
+          lat, lon, GeoOps.toWkb(GeoOps.point(lat, lon)))
+    }
+
+    // resolve way vertices: explode refs (dups preserved via pos), equi-join
+    // the node table, regroup in ref order — the scale path for assembly
+    val nodeCoords = nodes.select(col("id").as("ref"), col("lat").as("nlat"), col("lon").as("nlng"))
+    val coordsByWay = ways.select(col("id").as("way_id"), posexplode(col("refs")).as(Seq("pos", "ref")))
+      .join(nodeCoords, Seq("ref"))
+      .groupBy("way_id")
+      .agg(collect_list(struct(col("pos"), col("nlat"), col("nlng"))).as("coords"))
+
+    val wayRows = ways.join(coordsByWay, ways("id") === coordsByWay("way_id"), "left")
+      .select(col("id"), col("refs"), col("tags"), col("coords"))
+      .as[(Long, Seq[Long], Map[String, String], Seq[(Int, Double, Double)])]
+      .flatMap { case (id, refs, tags, coords0) =>
+        val coords = Option(coords0).getOrElse(Seq.empty)
+          .sortBy(_._1).map(c => new Coordinate(c._3, c._2)).toArray
+        if (coords.length == refs.length && coords.length >= 2) {
+          if (refs.head == refs.last && coords.length >= 4) {
+            try {
+              val poly = GeoOps.factory.createPolygon(coords)
+              val cc = poly.getCentroid
+              Some(FeatureRow("area", "openstreetmap.org/way", id, mapTags(tags),
+                cc.getY, cc.getX, GeoOps.toWkb(poly)))
+            } catch { case _: Throwable => None }
+          } else {
+            val line = GeoOps.factory.createLineString(coords)
+            val c = line.getCentroid
+            Some(FeatureRow("path", "openstreetmap.org/way", id, mapTags(tags),
+              c.getY, c.getX, GeoOps.toWkb(line)))
+          }
+        } else None
+      }
+
+    // multipolygon relations: member ways join their resolved coords, then a
+    // per-relation polygonize (inner join drops member ways outside the
+    // extract, like the driver path's wayById.get)
+    val mpRels = rels.where(col("tags").getItem("type") === "multipolygon")
+    val mpRows = mpRels
+      .select(col("id").as("rel_id"), posexplode(col("members")).as(Seq("mpos", "m")))
+      .where(col("m.mtype") === 1 && col("m.role").isin("outer", "", "inner"))
+      .join(coordsByWay, col("m.ref") === col("way_id"))
+      .groupBy(col("rel_id"))
+      .agg(collect_list(struct(col("mpos"), col("m.role").as("role"), col("coords"))).as("ms"))
+      .join(mpRels.select(col("id").as("rel_id"), col("tags")), "rel_id")
+      .as[(Long, Seq[(Int, String, Seq[(Int, Double, Double)])], Map[String, String])]
+      .flatMap { case (id, ms, tags) =>
+        def linesFor(roles: Set[String]): Seq[Geometry] =
+          ms.sortBy(_._1).filter(m => roles.contains(m._2)).flatMap { m =>
+            val cs = m._3.sortBy(_._1).map(c => new Coordinate(c._3, c._2)).toArray
+            if (cs.length >= 2) Some(GeoOps.factory.createLineString(cs): Geometry) else None
+          }
+        val outers = polygonize(linesFor(Set("outer", "")))
+        if (outers.isEmpty) None
+        else {
+          val inners = polygonize(linesFor(Set("inner")))
+          val shell = outers.reduce(_ union _)
+          val mp = inners.foldLeft(shell)((acc, h) => acc.difference(h))
+          val c = mp.getCentroid
+          Some(FeatureRow("area", "openstreetmap.org/relation", id, mapTags(tags),
+            c.getY, c.getX, GeoOps.toWkb(mp)))
+        }
+      }
+
+    // other relations: representative location = first member's node (if any)
+    val otherRows = rels.where(coalesce(col("tags").getItem("type"), lit("")) =!= "multipolygon")
+      .select(col("id"), col("tags"),
+        when(size(col("members")) > 0, col("members")(0).getField("ref")).as("fref"))
+      .join(nodeCoords.withColumnRenamed("ref", "fref"), Seq("fref"), "left")
+      .select(col("id"), col("tags"), col("nlat"), col("nlng"))
+      .as[(Long, Map[String, String], Option[Double], Option[Double])]
+      .map { case (id, tags, la, lo) =>
+        FeatureRow("relation", "openstreetmap.org/relation", id, mapTags(tags),
+          la.getOrElse(0.0), lo.getOrElse(0.0),
+          GeoOps.toWkb(GeoOps.point(la.getOrElse(0.0), lo.getOrElse(0.0))))
+      }
+
+    val df = pointRows.unionByName(wayRows).unionByName(mpRows).unionByName(otherRows).toDF()
+    df.select(
+        struct(col("ftype"), col("ns"), col("value")).as("id"),
+        col("tags"), col("lat"), col("lng"), col("geom"))
+      .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
+  }
+
+  /**
+   * Reference table — every (from feature) -> (to feature) structural
+   * reference in the extract: path -> vertex node (pos = vertex index) and
+   * relation -> member (pos = member index, with role). This is the queryable
+   * surface behind the reference's reverse-reference lookups
+   * (b6/world.go:1313-1319 FindRelationsByFeature / FindReferences and
+   * api/functions/features.go:362-406 point-paths / point-features) — in
+   * Spark those become plain equi-joins against this table.
+   */
+  def references(spark: SparkSession, pbfPath: String): DataFrame = {
+    import spark.implicits._
+    val raw = OsmPbf.readSpark(spark, pbfPath)
+    val wayRefs = raw.filter(_.kind == 1).toDF()
+      .select(lit("path").as("from_type"), col("id").as("from_id"),
+        posexplode(col("refs")).as(Seq("pos", "to_id")))
+      .select(col("from_type"), col("from_id"), lit("point").as("to_type"),
+        col("to_id"), lit("").as("role"), col("pos"))
+    val relRefs = raw.filter(_.kind == 2).toDF()
+      .select(lit("relation").as("from_type"), col("id").as("from_id"),
+        posexplode(col("members")).as(Seq("pos", "m")))
+      .select(col("from_type"), col("from_id"),
+        expr("CASE m.mtype WHEN 0 THEN 'point' WHEN 1 THEN 'path' ELSE 'relation' END").as("to_type"),
+        col("m.ref").as("to_id"), col("m.role").as("role"), col("pos"))
+    wayRefs.unionByName(relRefs)
+  }
+
+  /**
    * Walking-network edge table from the extract's #highway ways: one
    * undirected edge per consecutive vertex pair, cost = haversine meters —
    * the b6 Traverse/segment graph (b6/world.go:1104-1216) materialised as a

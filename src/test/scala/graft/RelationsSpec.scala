@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Relations
+import graft.sources.OsmWorld
+import org.apache.spark.sql.functions._
+
+/** Reverse-reference lookups against the reference's own relation goldens
+  * (python/diagonal_b6/b6_test.py:78-81, :107-109). */
+class RelationsSpec extends SparkSuite {
+  import spark.implicits._
+
+  val pbf = "/root/reference/data/tests/granary-square.osm.pbf"
+  lazy val refs = OsmWorld.references(spark, pbf).cache()
+
+  val JubileeGreenway = 380856L // b6_test.py:17
+  val StableStreetBridge = 140633010L // b6_test.py:18
+  val BridgeSouthEnd = 1540349979L
+
+  test("RELATION MEMBERS golden: Jubilee Greenway has 10 < path members < 800 (b6_test.py:78)") {
+    val paths = Relations.members(refs, JubileeGreenway)
+      .where(col("to_type") === "path").count()
+    assert(paths > 10 && paths < 800, s"got $paths")
+  }
+
+  test("RELATION NAMES golden: #route relations include Jubilee Greenway (b6_test.py:107)") {
+    val world = OsmWorld.features(spark, pbf)
+    val names = world.where(col("id.ftype") === "relation" &&
+        col("tags").getItem("#route").isNotNull)
+      .select(col("tags").getItem("name")).as[String].collect().toSet
+    assert(names.contains("Jubilee Greenway"), names.take(10).toString)
+  }
+
+  test("point-paths: the Stable Street bridge is among paths referencing its south-end node") {
+    val paths = Relations.pointPaths(refs, BridgeSouthEnd)
+      .select("from_id").as[Long].collect().toSet
+    assert(paths.contains(StableStreetBridge), paths.toString)
+  }
+
+  test("point-features: bridge vertices come back in order with the south end at an endpoint") {
+    val verts = Relations.pointFeatures(refs, StableStreetBridge)
+      .select("to_id").as[Long].collect()
+    assert(verts.length >= 2)
+    assert(verts.head == BridgeSouthEnd || verts.last == BridgeSouthEnd, verts.mkString(","))
+  }
+
+  test("relationsByFeature finds the relations a path belongs to") {
+    // any Jubilee Greenway member path must reverse-lookup to the relation
+    val member = Relations.members(refs, JubileeGreenway)
+      .where(col("to_type") === "path").select("to_id").as[Long].head()
+    val rels = Relations.relationsByFeature(refs, member)
+      .select("from_id").as[Long].collect().toSet
+    assert(rels.contains(JubileeGreenway))
+  }
+
+  test("referencesFor batch lookup equals per-id lookups") {
+    val ids = Seq(BridgeSouthEnd, 999999999999L).toDF("fid")
+    val batch = Relations.referencesFor(refs, ids, Seq("path"))
+      .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    val single = Relations.pointPaths(refs, BridgeSouthEnd)
+      .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+    assert(batch == single)
+  }
+}

@@ -74,13 +74,23 @@ object Snapshots {
              lineage: Seq[String] = Nil): Snapshot = {
     val id = latest(root).map(_.id + 1).getOrElse(0L)
     val dataPath = Paths.get(root, "data", id.toString).toString
-    val observed = df.observe(s"snap_$id", count(lit(1)).as("rows"))
-    observed.write.mode("overwrite").parquet(dataPath)
-    // per-partition (file) metrics from what was actually written
-    val files = Files.walk(Paths.get(dataPath)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    df.write.mode("overwrite").parquet(dataPath)
+    commitExisting(df.sparkSession, root, table, dataPath, lineage)
+  }
+
+  /** Commit a manifest over data ALREADY written to `dataPath` (used by
+    * partitioned writes like materialise-map, where the layout is chosen by
+    * the writer). Same atomic-rename commit point as `commit`. */
+  def commitExisting(spark: SparkSession, root: String, table: String,
+                     dataPath: String, lineage: Seq[String] = Nil): Snapshot = {
+    val id = latest(root).map(_.id + 1).getOrElse(0L)
+    val files = {
+      val stream = Files.walk(Paths.get(dataPath))
+      try stream.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      finally stream.close()
+    }
     val bytes = files.map(Files.size).sum
-    val rows = df.sparkSession.read.parquet(dataPath).count()
+    val rows = spark.read.parquet(dataPath).count()
     val fileLines = files.map(p => s"""{"file":"${p.getFileName}","bytes":${Files.size(p)}}""")
     val snap = Snapshot(id, table, dataPath, rows, bytes, files.size, lineage)
     Files.createDirectories(snapsDir(root))

@@ -177,9 +177,38 @@ object GeoOps {
     Cells.parentAt(a, l)
   }
 
-  /** Tiles covering a WKB geometry at `zoom` (bbox-based, per reference tile cover). */
+  /** Tiles covering a WKB geometry at `zoom` — covers the geometry's CELL
+    * UNION, not its envelope, so an L-shaped geometry's empty corner
+    * contributes no tiles (CoverCellUnionWithTiles, b6/tiles.go:296-343;
+    * per-cell rect cover ≙ CoverCellIDWithTiles :259-294). */
   def tileCoverWkb(wkb: Array[Byte], zoom: Int): Array[Long] = {
-    val env = fromWkb(wkb).getEnvelopeInternal
-    tileCoverBBox(env.getMinY, env.getMinX, env.getMaxY, env.getMaxX, zoom)
+    val g = fromWkb(wkb)
+    val cells = covering(g, Cells.MaxLevel, 16)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    cells.foreach { c =>
+      tileCoverBBox(Cells.latLo(c), Cells.lngLo(c), Cells.latHi(c), Cells.lngHi(c), zoom)
+        .foreach(t => set.add(t))
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Single-level grid of cells intersecting a geometry — the s2-grid
+    * semantics (api/functions/s2.go:30-44: min=max=level covering, sorted).
+    * Realised as the covering with an unbounded cell budget, which refines
+    * every cell to exactly `level`. */
+  def gridAtLevel(wkb: Array[Byte], level: Int): Array[Long] =
+    covering(fromWkb(wkb), level, Int.MaxValue)
+
+  /** Boundary polygon of one cell — s2-polygon (api/functions/s2.go:66-74). */
+  def cellPolygonWkb(cell: Long): Array[Byte] = {
+    val (x0, y0) = (Cells.lngLo(cell), Cells.latLo(cell))
+    val (x1, y1) = (Cells.lngHi(cell), Cells.latHi(cell))
+    toWkb(factory.createPolygon(Array(
+      new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+      new Coordinate(x0, y1), new Coordinate(x0, y0))))
   }
 }

@@ -131,6 +131,31 @@ object CellExprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** s2-grid analogue (api/functions/s2.go:30-44): single-level sorted cell
+    * grid intersecting a geometry. */
+  case class CellGrid(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cell_grid"
+    override protected def nullSafeEval(wkb: Any, lvl: Any): Any =
+      new GenericArrayData(graft.core.GeoOps.gridAtLevel(
+        wkb.asInstanceOf[Array[Byte]], lvl.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.GeoOps.gridAtLevel($a, $b))")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** s2-polygon analogue (api/functions/s2.go:66-74): cell boundary as WKB. */
+  case class CellPolygon(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "cell_polygon"
+    override protected def nullSafeEval(c: Any): Any =
+      graft.core.GeoOps.cellPolygonWkb(c.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.core.GeoOps.cellPolygonWkb($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   case class HaversineM(children: Seq[Expression]) extends Expression {
     require(children.length == 4, "haversine_m(lat1, lng1, lat2, lng2)")
     override def dataType: DataType = DoubleType
@@ -215,6 +240,8 @@ object CellExprs {
     "tile_x" -> (es => TileXExpr(asD(es(0)), asI(es(1)))),
     "tile_y" -> (es => TileYExpr(asD(es(0)), asI(es(1)))),
     "tile_cover" -> (es => TileCoverWkbExpr(es(0), asI(es(1)))),
+    "cell_grid" -> (es => CellGrid(es(0), asI(es(1)))),
+    "cell_polygon" -> (es => CellPolygon(asL(es(0)))),
   )
 
   /** Expression builders by SQL name (shared with GraftExtensions). */
@@ -246,4 +273,8 @@ object CellExprs {
   def tile_x(lng: Column, zoom: Column): Column = call_function("tile_x", lng, zoom)
   def tile_y(lat: Column, zoom: Column): Column = call_function("tile_y", lat, zoom)
   def tile_cover(wkb: Column, zoom: Column): Column = call_function("tile_cover", wkb, zoom)
+  /** s2-grid analogue: single-level sorted cell grid of a geometry. */
+  def cell_grid(wkb: Column, level: Column): Column = call_function("cell_grid", wkb, level)
+  /** s2-polygon analogue: cell boundary polygon (WKB). */
+  def cell_polygon(cell: Column): Column = call_function("cell_polygon", cell)
 }

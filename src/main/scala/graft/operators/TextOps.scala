@@ -185,15 +185,31 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard similarity join over candidate pairs (all pairs of
-    * docs sharing at least one shingle; use LSH variant at scale). */
+    * docs sharing at least one shingle; use LSH variant at scale).
+    *
+    * `maxDfFraction` is the stop-shingle cap: shingles occurring in more than
+    * that fraction of documents are dropped from CANDIDATE GENERATION (the
+    * exact verify still uses full shingle sets). Without it one ubiquitous
+    * shingle ("in the") creates a quadratic candidate bucket; with it every
+    * bucket's fan-out is bounded by (maxDf·N)². Pairs whose ONLY shared
+    * shingles are ubiquitous are skipped — by construction such pairs sit far
+    * below any useful Jaccard threshold. */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+                       k: Int = 3, threshold: Double = 0.5,
+                       maxDfFraction: Double = 0.2): DataFrame = {
     // inverted index moves only (shingle-hash, id); shingle sets re-attach by
     // id for the exact verify (same shuffle discipline as dedupMinhashLsh)
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inverted = withSh.select(col("__id"), explode(col("__sh")).as("s"))
+    val inverted0 = withSh.select(col("__id"), explode(col("__sh")).as("s"))
       .select(col("__id"), xxhash64(col("s")).as("sh"))
+    // absolute floor keeps tiny corpora exact; the fraction bounds the
+    // bucket fan-out ((maxDf*N)^2) at scale
+    val dfCap = math.max(16L, (withSh.count() * maxDfFraction).toLong)
+    // the hot set is tiny (only shingles above the cap) -> broadcast anti-join
+    val hot = inverted0.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > dfCap).select("sh")
+    val inverted = inverted0.join(broadcast(hot), Seq("sh"), "left_anti")
     val candidates = inverted.as("a").join(inverted.as("b"), "sh")
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

@@ -20,6 +20,47 @@ object Mvt {
 
   val Extent = 4096
   val MaxFeaturesPerTile = 10000
+  /** Rings longer than this simplify before encoding (encoder.go:82). */
+  val SimplifyThreshold = 1000
+  /** Douglas-Peucker tolerance in tile units (encoder.go:83). */
+  val SimplifyEpsilon = 5.0
+
+  /** Perpendicular distance from p to the line through a-b (simplify.go:41-46);
+    * degenerates to point distance when a == b. */
+  private def perpDistance(ax: Double, ay: Double, bx: Double, by: Double,
+                           px: Double, py: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val n = math.hypot(dx, dy)
+    if (n == 0.0) math.hypot(px - ax, py - ay)
+    else math.abs(dy * (px - ax) - dx * (py - ay)) / n
+  }
+
+  /** Iterative Douglas-Peucker (simplify.go:73-110's explicit-stack form).
+    * Keeps endpoints; exact for chains under the tolerance. */
+  def douglasPeucker(pts: Array[(Double, Double)], epsilon: Double): Array[(Double, Double)] = {
+    if (pts.length <= 2) return pts
+    val keep = new Array[Boolean](pts.length)
+    keep(0) = true; keep(pts.length - 1) = true
+    val stack = scala.collection.mutable.Stack((0, pts.length - 1))
+    while (stack.nonEmpty) {
+      val (b, e) = stack.pop()
+      if (e - b >= 2) {
+        var maxD = 0.0; var maxI = -1
+        val (ax, ay) = pts(b); val (ex, ey) = pts(e)
+        var i = b + 1
+        while (i < e) {
+          val d = perpDistance(ax, ay, ex, ey, pts(i)._1, pts(i)._2)
+          if (d > maxD) { maxD = d; maxI = i }
+          i += 1
+        }
+        if (maxD > epsilon) {
+          keep(maxI) = true
+          stack.push((b, maxI)); stack.push((maxI, e))
+        }
+      }
+    }
+    pts.indices.collect { case i if keep(i) => pts(i) }.toArray
+  }
 
   // ---- protobuf wire writer ----
 
@@ -59,10 +100,15 @@ object Mvt {
     (px, py)
   }
 
-  /** Geometry commands for a JTS geometry in tile-local coords. */
+  /** Geometry commands for a JTS geometry in tile-local coords. Polygon rings
+    * beyond SimplifyThreshold points are Douglas-Peucker-simplified in tile
+    * units before encoding (≙ encoder.go:77-105). */
   def geometryCommands(g: Geometry, z: Int, tx: Long, ty: Long): (Int, Seq[Long]) = {
     def encodeLine(cs: Array[Coordinate], close: Boolean): Seq[Long] = {
-      val pts = cs.map(c => tileCoord(c.x, c.y, z, tx, ty))
+      val n = (1L << z).toDouble
+      var raw = cs.map(c => ((worldX(c.x) * n - tx) * Extent, (worldY(c.y) * n - ty) * Extent))
+      if (close && raw.length > SimplifyThreshold) raw = douglasPeucker(raw, SimplifyEpsilon)
+      val pts = raw.map(p => (math.round(p._1), math.round(p._2)))
       val unique = if (close) pts.dropRight(1) else pts
       if (unique.isEmpty) return Nil
       val out = Seq.newBuilder[Long]
@@ -108,14 +154,20 @@ object Mvt {
   }
 
   case class TileFeature(fid: Long, layer: String, wkbGeom: Array[Byte],
-                         tags: Map[String, String])
+                         tags: Map[String, String], sortRank: Int = 0)
 
   /** Encode one tile's features as an MVT binary. Features are sorted by
-    * (layer, id) and capped at MaxFeaturesPerTile, per the reference. */
-  def encodeTile(z: Int, tx: Long, ty: Long, features: Seq[TileFeature]): Array[Byte] = {
+    * (sortRank ≙ the 'layer' OSM tag, id) within each layer
+    * (renderer.go:18-37 byLayerThenID) and capped at MaxFeaturesPerTile;
+    * layers are emitted in `layerRank` order (the basemap enum order,
+    * renderer.go:41-55), unranked layers alphabetically after. */
+  def encodeTile(z: Int, tx: Long, ty: Long, features: Seq[TileFeature],
+                 layerRank: Map[String, Int] = Map.empty): Array[Byte] = {
     val tile = new Writer
-    features.groupBy(_.layer).toSeq.sortBy(_._1).foreach { case (layerName, fs) =>
-      val sorted = fs.sortBy(f => f.fid).take(MaxFeaturesPerTile)
+    features.groupBy(_.layer).toSeq
+      .sortBy { case (name, _) => (layerRank.getOrElse(name, Int.MaxValue), name) }
+      .foreach { case (layerName, fs) =>
+      val sorted = fs.sortBy(f => (f.sortRank, f.fid)).take(MaxFeaturesPerTile)
       val keys = scala.collection.mutable.LinkedHashMap[String, Int]()
       val values = scala.collection.mutable.LinkedHashMap[String, Int]()
       val layer = new Writer
@@ -156,22 +208,26 @@ object Mvt {
    */
   def renderTiles(features: DataFrame, zoom: Int,
                   fidCol: String = "fid", layerCol: String = "layer",
-                  geomCol: String = "geom", tagsCol: String = "tags"): DataFrame = {
+                  geomCol: String = "geom", tagsCol: String = "tags",
+                  sortRankCol: Option[String] = None,
+                  layerOrder: Seq[String] = Nil): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     graft.functions.CellExprs.install(spark)
+    val rank = layerOrder.zipWithIndex.toMap
+    val rankCol = sortRankCol.map(col).getOrElse(lit(0))
     val assigned = features
       .withColumn("__tile", explode(graft.functions.CellExprs.tile_cover(col(geomCol), lit(zoom))))
       .select(col("__tile"), col(fidCol).as("fid"), col(layerCol).as("layer"),
-        col(geomCol).as("geom"), col(tagsCol).as("tags"))
-      .as[(Long, Long, String, Array[Byte], Map[String, String])]
+        col(geomCol).as("geom"), col(tagsCol).as("tags"), rankCol.cast("int").as("srank"))
+      .as[(Long, Long, String, Array[Byte], Map[String, String], Int)]
     assigned.groupByKey(_._1)
       .mapGroups { (tileId, rows) =>
         val z = GeoOps.tileIdZ(tileId)
         val tx = GeoOps.tileIdX(tileId)
         val ty = GeoOps.tileIdY(tileId)
-        val fs = rows.map(r => TileFeature(r._2, r._3, r._4, r._5)).toSeq
-        (z, tx, ty, encodeTile(z, tx, ty, fs))
+        val fs = rows.map(r => TileFeature(r._2, r._3, r._4, r._5, r._6)).toSeq
+        (z, tx, ty, encodeTile(z, tx, ty, fs, rank))
       }.toDF("z", "x", "y", "mvt")
   }
 }

@@ -128,6 +128,35 @@ object Aggs {
     labeled.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
   }
 
+  /**
+   * histogram-with-id / histogram-swatch(-with-id)
+   * (api/functions/collections.go:447-483, api/histogram.go:15-60): persist a
+   * numeric histogram as a collection-feature CHANGE — `bucket:i` label tags
+   * (formatLabel rules), `b6=histogram`, plus `b6:histogram=swatch` for the
+   * swatch variant — and the per-element membership as an items DataFrame
+   * (element key -> bucket index), which stays distributed: only the <=6
+   * bucket bounds ever reach the driver.
+   */
+  def histogramChange(df: DataFrame, valueCol: String, keyCol: String,
+                      ns: String, id: Long, swatch: Boolean = false): (Changes.ChangeSet, DataFrame) = {
+    val buckets = histogramUniform(df, valueCol).orderBy("bucket").collect()
+    val lows = buckets.map(r => r.getAs[Number]("lo").doubleValue())
+    val labels = lows.indices.map { i =>
+      if (i < lows.length - 1) formatLabel(lows(i), Some(lows(i + 1)))
+      else formatLabel(lows(i), None)
+    }
+    val tags = Map("b6" -> "histogram") ++
+      labels.zipWithIndex.map { case (l, i) => s"bucket:$i" -> l } ++
+      (if (swatch) Map("b6:histogram" -> "swatch") else Map.empty)
+    val change = Changes.ChangeSet(adds = Seq(
+      Changes.FeatureAdd("collection", ns, id, tags, 0.0, 0.0)))
+    // bucket index = number of later-bucket lower bounds <= value
+    val idx = lows.drop(1).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(valueCol) >= b, 1L).otherwise(0L)
+    }
+    (change, df.select(col(keyCol).as("key"), idx.as("bucket")))
+  }
+
   /** join-missing (collections.go:485-583): base rows plus joined rows whose
     * key is absent from base (right-anti union). */
   def joinMissing(base: DataFrame, joined: DataFrame, keyCol: String): DataFrame =

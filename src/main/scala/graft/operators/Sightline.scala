@@ -9,11 +9,13 @@ import graft.functions.CellExprs
 /**
  * Sightline / visibility polygons (src/diagonal.works/b6/api/functions/
  * sightline.go:21-120: visibility from a point within a radius, occluded by
- * #building areas). The reference runs an exact polar sweep; here each origin
- * casts `rays` evenly-spaced rays (default 256) and clips them at the first
- * intersecting occluder edge — an approximation that converges to the sweep
- * as rays grow, adequate for the isovist-style analysis the reference uses it
- * for.
+ * #building areas). Like the reference's polar sweep, rays are cast at every
+ * occluder VERTEX angle (plus epsilon on each side, so both the corner and
+ * the silhouette edge behind it register) in addition to `rays` uniform base
+ * angles — the base angles reproduce the reference's 128-gon free-field
+ * boundary (s2.RegularLoop(center, radius, 128), sightline.go:102), the
+ * vertex angles make occlusion transitions exact at corners instead of
+ * quantized to the ray spacing.
  *
  * Spark shape: occluders pair with origins through the covering-cell join
  * (only buildings within the radius disk are shipped to an origin's task);
@@ -54,7 +56,8 @@ object Sightline {
     }
   }
 
-  /** Ray-cast visibility polygon around (lat,lng). */
+  /** Ray-cast visibility polygon around (lat,lng): `rays` uniform angles plus
+    * every occluder vertex angle ±ε (the polar-sweep event points). */
   def visibilityPolygon(lat: Double, lng: Double, occluders: Seq[Geometry],
                         radiusMeters: Double, rays: Int): Geometry = {
     val mPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
@@ -63,8 +66,20 @@ object Sightline {
     val dLng = radiusMeters / mPerDegLng
     val originC = new Coordinate(lng, lat)
     val prepared = occluders.map(GeoOps.prepare)
-    val coords = (0 until rays).map { i =>
-      val a = 2 * math.Pi * i / rays
+    val eps = 1e-7
+    val vertexAngles = occluders.iterator.flatMap(_.getCoordinates.iterator).flatMap { c =>
+      // normalized offsets so the angle matches the (cos a, sin a) ray space
+      val ux = (c.x - lng) / dLng
+      val uy = (c.y - lat) / dLat
+      if (ux * ux + uy * uy <= 1.21) { // within 1.1 * radius, like the sweep boundary
+        val a = math.atan2(uy, ux)
+        Seq(a - eps, a, a + eps)
+      } else Nil
+    }.toSeq
+    val base = (0 until rays).map(i => 2 * math.Pi * i / rays)
+    val angles = (base ++ vertexAngles.map(a => (a % (2 * math.Pi) + 2 * math.Pi) % (2 * math.Pi)))
+      .distinct.sorted
+    val coords = angles.map { a =>
       val end = new Coordinate(lng + dLng * math.cos(a), lat + dLat * math.sin(a))
       val ray = GeoOps.factory.createLineString(Array(originC, end))
       var best = end

@@ -59,6 +59,22 @@ class AggsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("histogram-with-id: collection-feature change carries bucket label tags; items stay distributed") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val (change, items) = Aggs.histogramChange(df, "v", "k", "graft/ui", 42L, swatch = true)
+    val add = change.adds.head
+    assert(add.ftype == "collection" && add.value == 42L)
+    assert(add.tags("b6") == "histogram" && add.tags("b6:histogram") == "swatch")
+    assert((0 to 5).forall(i => add.tags.contains(s"bucket:$i")))
+    // membership must agree with histogramUniform's bucket ranges
+    val ranges = Aggs.histogramUniform(df, "v").orderBy("bucket").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getDouble(1), r.getDouble(2)))
+    val got = items.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranges.foreach { case (b, lo, hi) =>
+      assert(got(lo.toLong) == b && got(hi.toLong) == b, s"bucket $b [$lo,$hi]")
+    }
+  }
+
   test("histogram labels follow the reference formatLabel rules") {
     assert(Aggs.formatLabel(1.0, Some(2.0)) == "1")      // int, u == l+1
     assert(Aggs.formatLabel(1.0, Some(9.0)) == "1-9")

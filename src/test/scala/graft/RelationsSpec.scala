@@ -52,6 +52,26 @@ class RelationsSpec extends SparkSuite {
     assert(rels.contains(JubileeGreenway))
   }
 
+  test("entrance-approach: an approach point lands outside its building, near it (sightline.go:801-855)") {
+    val world = OsmWorld.features(spark, pbf).cache()
+    val buildings = world.where(col("id.ftype") === "area" &&
+        col("id.ns") === "openstreetmap.org/way" &&
+        col("tags").getItem("#building").isNotNull)
+      .select(col("id.value"), col("geom")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    var found = 0
+    buildings.foreach { case (id, wkb) =>
+      graft.operators.Entrances.entranceApproach(world, refs, id).foreach { case (lat, lng) =>
+        found += 1
+        val area = graft.core.GeoOps.fromWkb(wkb)
+        val p = graft.core.GeoOps.point(lat, lng)
+        assert(!area.covers(p), s"approach for $id must be outside the building")
+        assert(area.distance(p) < 0.001, s"approach for $id must be near the building")
+      }
+    }
+    assert(found > 0, "at least one granary building has a walkable approach")
+  }
+
   test("referencesFor batch lookup equals per-id lookups") {
     val ids = Seq(BridgeSouthEnd, 999999999999L).toDF("fid")
     val batch = Relations.referencesFor(refs, ids, Seq("path"))

@@ -30,6 +30,24 @@ class SightlineSpec extends SparkSuite {
     assert(GeoFunctions.areaM2(vis) < math.Pi * 500.0 * 500.0 * 0.95)
   }
 
+  test("vertex-angle rays make corners exact: coarse ray count converges to fine") {
+    // with rays cast at occluder vertex angles, the shadow boundary is set by
+    // the corners, not the ray spacing — 64 base rays must already agree with
+    // 4096 base rays to well under the spacing-error a pure 64-ray cast has
+    val box = GeoOps.fromWkt(
+      "POLYGON ((-0.1245 51.5340, -0.1235 51.5340, -0.1235 51.5350, -0.1245 51.5350, -0.1245 51.5340))")
+    val coarse = GeoFunctions.areaM2(
+      Sightline.visibilityPolygon(origin._1, origin._2, Seq(box), 500.0, 64))
+    val fine = GeoFunctions.areaM2(
+      Sightline.visibilityPolygon(origin._1, origin._2, Seq(box), 500.0, 4096))
+    assert(math.abs(coarse - fine) / fine < 0.005, s"$coarse vs $fine")
+    // the exact corner is a vertex of the visibility polygon
+    val vis = Sightline.visibilityPolygon(origin._1, origin._2, Seq(box), 500.0, 64)
+    val hasCorner = vis.getCoordinates.exists(c =>
+      math.abs(c.x - -0.1245) < 1e-6 && math.abs(c.y - 51.5350) < 1e-6)
+    assert(hasCorner, "visible corner must appear as a polygon vertex")
+  }
+
   test("distributed sightlines: camden buildings occlude the granary-square view") {
     val world = graft.sources.OsmWorld.features(spark, "/root/reference/data/tests/granary-square.osm.pbf")
     val buildings = world.where(

@@ -36,6 +36,26 @@ object TileIds {
     fnv1(le64(value), h)
   }
 
+  /** FNV-1a over a string (xor THEN multiply — the reference's
+    * encoding.HashString, encoding/strings.go:16-24). */
+  def fnv1a(s: String): Long = {
+    var h = OffsetBasis
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h = h ^ (bytes(i) & 0xffL)
+      h = h * Prime
+      i += 1
+    }
+    h
+  }
+
+  /** id-to-relation-id (api/functions/change.go:14-17): hash the rendered
+    * feature-id string ("point/openstreetmap.org/node/123") into a relation
+    * id under the given namespace. */
+  def idToRelationId(ftype: String, ns: String, value: Long): Long =
+    fnv1a(s"$ftype/$ns/$value")
+
   /** TileFeatureIDForPolygon — api/tiles.go:22-32. */
   def tileFeatureIdForPolygon(ftype: Long, namespace: String, value: Long, polygon: Long): Long = {
     var h = fnv1(le64(ftype))

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /**
  * Text-analysis + deduplication operators for a training-data pipeline over a
- * `documents(doc_id, text, ...)` table. Everything is built from codegen'd
- * built-in functions (no Scala UDFs): shingling/minhash/simhash use
- * transform/aggregate/zip_with over token arrays, so the whole map side stays
- * inside whole-stage codegen and scales linearly with no shuffle until the
- * band/bucket join.
+ * `documents(doc_id, text, ...)` table, built from built-in functions (no
+ * Scala UDFs). Scalar fragments (length/replace arithmetic) are whole-stage
+ * codegen'd; the higher-order functions (transform/aggregate/zip_with behind
+ * shingling/minhash/simhash) are evaluated per-row by Catalyst's interpreter
+ * — NOT codegen'd — but remain scan-side and shuffle-free: the only shuffles
+ * are the band/bucket joins, so the plan scales linearly with a higher
+ * constant factor on the minhash map side.
  *
  * The shared SQL fragments (occurrence counts via length-difference) are pure
  * string arithmetic, so the DuckDB oracle computes bit-identical values.

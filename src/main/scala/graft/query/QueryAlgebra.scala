@@ -61,6 +61,25 @@ case class IntersectsCap(lat: Double, lng: Double, radiusMeters: Double) extends
 case class IntersectsGeom(wkb: Array[Byte]) extends Query {
   def toColumn: Column = CellExprs.wkb_covers_point(lit(wkb), col("lat"), col("lng"))
 }
+/** Features whose GEOMETRY intersects a literal polyline — the exact-JTS form
+  * of IntersectsPolyline (b6/spatial.go:509-607; the reference approximates
+  * area intersection by vertex containment, TODO'd at :562 — we refine
+  * exactly, a strict superset of its approximation). Needs a `geom` column. */
+case class IntersectsPolyline(wkb: Array[Byte]) extends Query {
+  def toColumn: Column = CellExprs.wkb_intersects(col("geom"), lit(wkb))
+}
+/** Features whose geometry intersects a literal (multi)polygon —
+  * IntersectsMultiPolygon (b6/spatial.go:609-711). Needs a `geom` column. */
+case class IntersectsPolygon(wkb: Array[Byte]) extends Query {
+  def toColumn: Column = CellExprs.wkb_intersects(col("geom"), lit(wkb))
+}
+/** IntersectsFeature (b6/spatial.go:373-418): look up the geometry of the
+  * given feature id in the world and delegate to the right Intersects* node
+  * by geometry type. Resolution happens in QueryPlanner.find. */
+case class IntersectsFeature(ftype: String, ns: String, value: Long) extends Query {
+  def toColumn: Column =
+    throw new IllegalStateException("IntersectsFeature must be planned via QueryPlanner.find (needs the world)")
+}
 
 object QueryPlanner {
   /**
@@ -89,11 +108,55 @@ object QueryPlanner {
       features
         .where(arrays_overlap(anc, typedLit(cover.toSeq)))
         .where(cap.toColumn)
-    case And(qs) if qs.exists(q => q.isInstanceOf[IntersectsGeom] || q.isInstanceOf[IntersectsCap]) =>
-      val (spatial, rest) = qs.partition(q =>
-        q.isInstanceOf[IntersectsGeom] || q.isInstanceOf[IntersectsCap])
+    case q @ IntersectsPolyline(wkb) => geomIntersectsPlan(features, wkb, q.toColumn)
+    case q @ IntersectsPolygon(wkb) => geomIntersectsPlan(features, wkb, q.toColumn)
+    case IntersectsFeature(ftype, ns, value) =>
+      // look up the target's geometry once (broadcast-by-literal), then
+      // delegate by geometry type like b6/spatial.go:373-418
+      val row = features
+        .where(col("id.ftype") === ftype && col("id.ns") === ns && col("id.value") === value)
+        .select("geom").head
+      val wkb = row.getAs[Array[Byte]](0)
+      val g = graft.core.GeoOps.fromWkb(wkb)
+      val delegate = g.getGeometryType match {
+        case "LineString" | "MultiLineString" => IntersectsPolyline(wkb)
+        case "Point" => IntersectsCap(g.getCoordinate.y, g.getCoordinate.x, 0.5)
+        case _ =>
+          if (features.columns.contains("geom")) IntersectsPolygon(wkb) else IntersectsGeom(wkb)
+      }
+      find(features, delegate)
+    case And(qs) if qs.exists(isSpatial) =>
+      val (spatial, rest) = qs.partition(isSpatial)
       val base = if (rest.isEmpty) features else features.where(And(rest).toColumn)
       spatial.foldLeft(base) { (df, s) => find(df, s) }
     case other => features.where(other.toColumn)
+  }
+
+  private def isSpatial(q: Query): Boolean = q match {
+    case _: IntersectsGeom | _: IntersectsCap | _: IntersectsPolyline |
+         _: IntersectsPolygon | _: IntersectsFeature => true
+    case _ => false
+  }
+
+  /** Covering pre-prune + exact JTS refine for geometry-intersection queries:
+    * the s2:/a2: duality (search/spatial.go:65-113) — a feature is a candidate
+    * when its covering overlaps the query covering's ancestor closure, or its
+    * covering's ancestor closure overlaps the query covering. */
+  private def geomIntersectsPlan(features: DataFrame, wkb: Array[Byte], refine: Column): DataFrame = {
+    val coverQ = graft.core.GeoOps.coveringWkb(wkb, 16, 8)
+    val ancQ = (coverQ ++ coverQ.flatMap(graft.core.Cells.ancestors)).distinct.sorted
+    val pruned =
+      if (features.columns.contains("covering")) {
+        val featAnc = flatten(transform(col("covering"),
+          c => array_union(array(c), CellExprs.cell_ancestors(c))))
+        features.where(
+          arrays_overlap(col("covering"), typedLit(ancQ.toSeq)) ||
+            arrays_overlap(featAnc, typedLit(coverQ.toSeq)))
+      } else {
+        val levels = coverQ.map(c => graft.core.Cells.level(c)).distinct.sorted
+        val anc = array(levels.map(l => CellExprs.cell_parent_at(col("cell16"), lit(l))): _*)
+        features.where(arrays_overlap(anc, typedLit(coverQ.toSeq)))
+      }
+    pruned.where(refine)
   }
 }

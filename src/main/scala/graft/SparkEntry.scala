@@ -237,6 +237,49 @@ object SparkEntry {
         .select("from_id", "pos", "to_id", "role")
     }),
 
+    // -- mutation plane: transactional tag-edit change (change.go:20-67, :186-199) --
+    "w_change_tags" -> ((s, d) => {
+      val world = features(s, d)
+        .select(col("id"), col("tags"), col("lat"), col("lng"))
+        .withColumn("geom", lit(null).cast("binary"))
+        .withColumn("cell16", lit(0L))
+        .withColumn("covering", lit(null).cast("array<long>"))
+      val refs = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "from_type string, from_id long, to_type string, to_id long, role string, pos int"))
+      val change = graft.operators.Changes.merge(Seq(
+        graft.operators.Changes.tagChange("point", "graft/events", 0L, "#amenity", Some("edited")),
+        graft.operators.Changes.tagChange("path", "graft/events", 1L, "@name", None),
+        graft.operators.Changes.addRelation("graft/rel", 7L, Map("#route" -> "bus"),
+          Seq(("point", 0L, "stop")))))
+      val (edited, _, _) = graft.operators.Changes.apply(s, world, refs, change)
+      edited.where(col("id.value") <= 2L || col("id.ftype") === "relation")
+        .select(col("id.ftype").as("ftype"), col("id.value").as("value"),
+          col("tags").getItem("#amenity").as("amenity"),
+          col("tags").getItem("@name").as("name"),
+          col("tags").getItem("#route").as("route"))
+        .orderBy("ftype", "value")
+    }),
+
+    // -- basemap renderer (renderer.go:171-233) + sightlines: rows-only --
+    "rd_basemap" -> ((s, d) => {
+      val feats = Fixtures.polygons(s)
+        .select(struct(lit("area").as("ftype"), lit("graft/fixture").as("ns"),
+          col("poly_id").as("value")).as("id"),
+          map(concat(lit("#"), col("tag")), lit("park")).as("tags"), col("geom"))
+      graft.render.RenderRules.basemapTiles(feats, 14)
+        .select(col("z"), col("x"), col("y"), length(col("mvt")).as("n_bytes"))
+        .orderBy("z", "x", "y")
+    }),
+    "sl_sightline" -> ((s, d) => {
+      val origins = Fixtures.points(s, d).where(col("point_id") % 5000 === 0)
+        .select(col("point_id").as("origin_id"), col("lat"), col("lng"))
+      graft.operators.Sightline.sightlines(origins, Fixtures.polygons(s), 400.0, rays = 64)
+        .toDF().select(col("origin_id"), round(col("area_m2"), 0).as("area_m2"))
+        .orderBy("origin_id")
+    }),
+
     // -- map/filter plane (map.go:12-67, collections.go:215-274) --
     "co_map_filter" -> ((s, d) => Fixtures.points(s, d)
       .withColumn("score", col("lat") * 2.0 + col("lng"))
@@ -535,6 +578,16 @@ object SparkEntry {
          |WHERE p.point_id % 100 = 0 AND $d < 3000.0
          |GROUP BY 1 ORDER BY qid""".stripMargin
     },
+    "w_change_tags" ->
+      s"""SELECT CASE event_id % 3 WHEN 0 THEN 'point' WHEN 1 THEN 'path' ELSE 'area' END AS ftype,
+         |  event_id AS value,
+         |  CASE WHEN event_id = 0 THEN 'edited' ELSE $amenitySql END AS amenity,
+         |  CASE WHEN event_id % 5 = 0 AND event_id <> 1 THEN concat('site-', CAST(event_id AS VARCHAR)) ELSE NULL END AS name,
+         |  CAST(NULL AS VARCHAR) AS route
+         |FROM events WHERE event_id <= 2
+         |UNION ALL SELECT 'relation', CAST(7 AS BIGINT), NULL, NULL, 'bus'
+         |ORDER BY ftype, value""".stripMargin,
+
     "rel_members" ->
       """SELECT CAST(event_id % 50 AS BIGINT) AS from_id, event_id // 50 AS pos,
         |  event_id AS to_id, concat('role-', CAST(event_id % 3 AS VARCHAR)) AS role

@@ -59,6 +59,20 @@ object FeatureIndex {
     all.unionByName(s2).unionByName(a2).unionByName(tags)
   }
 
+  /** debug-all-query (api/functions/debug.go:22-24): the raw posting list of
+    * one token — every feature id the token indexes, in id order. */
+  def debugAllQuery(features: DataFrame, token: String): DataFrame =
+    tokens(features).where(col("token") === token)
+      .select("id").orderBy(col("id.ftype"), col("id.ns"), col("id.value"))
+
+  /** count-tag-value (api/functions/features.go:177-189): the 1-row
+    * ((key,value) -> 1) collection for one feature's tag. */
+  def countTagValue(features: DataFrame, ftype: String, ns: String, value: Long,
+                    key: String): DataFrame =
+    features.where(col("id.ftype") === ftype && col("id.ns") === ns &&
+        col("id.value") === value && col("tags").getItem(key).isNotNull)
+      .select(lit(key).as("key"), col("tags").getItem(key).as("value"), lit(1L).as("n"))
+
   /** Scan restricted to the buckets intersecting a covering — the partition
     * pruning path (ancestors-or-self of each covering cell at bucket level). */
   def scanCovering(spark: SparkSession, path: String, covering: Array[Long],

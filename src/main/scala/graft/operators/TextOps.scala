@@ -94,18 +94,34 @@ object TextOps {
   }
 
   /**
-   * MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle),
-   * i = 0..numHashes-1. Pure built-ins — transform over a seed sequence with a
-   * nested array_min.
+   * MinHash core: ONE 64-bit base hash per shingle (FNV-1a), then per seed a
+   * cheap avalanche mix (splitmix64) — O(|shingles| · (bytes + numHashes))
+   * per row in tight JVM loops. Round 1 computed numHashes full string hashes
+   * per shingle through the interpreted expression evaluator; that was the
+   * dominant cost of the LSH map side (32 s for 500 docs).
    */
+  private[graft] def minhashSig(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val base = new Array[Long](shingles.length)
+    var j = 0
+    shingles.foreach { s => base(j) = graft.functions.TileIds.fnv1a(s); j += 1 }
+    Array.tabulate(numHashes) { i =>
+      val seed = graft.model.Fixtures.splitmix64(1000003L * (i + 1))
+      var m = Long.MaxValue
+      var t = 0
+      while (t < base.length) {
+        val x = graft.model.Fixtures.splitmix64(base(t) ^ seed)
+        if (x < m) m = x
+        t += 1
+      }
+      m
+    }
+  }
+
+  /** MinHash signatures: sig[i] = min over shingles of mix_i(h(shingle)). */
   def minhashSignature(df: DataFrame, textCol: String, k: Int = 3,
                        numHashes: Int = 32): DataFrame = {
-    val sh = shingles(col(textCol), k)
-    df.withColumn("__shingles", sh)
-      .withColumn("minhash",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("__shingles"), s => xxhash64(i, s)))))
-      .drop("__shingles")
+    val sig = udf((sh: Seq[String]) => minhashSig(sh, numHashes))
+    df.withColumn("minhash", sig(shingles(col(textCol), k)))
   }
 
   /**
@@ -125,16 +141,20 @@ object TextOps {
     // join moves only (id, band_hash); shingles re-attach by id afterwards.
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandHashes = udf { (sh: Seq[String]) =>
+      val sig = minhashSig(sh, numHashes)
+      Array.tabulate(bands) { b =>
+        var h = graft.functions.TileIds.OffsetBasis ^ b.toLong
+        var r = 0
+        while (r < rowsPerBand) {
+          h = graft.model.Fixtures.splitmix64(h ^ sig(b * rowsPerBand + r))
+          r += 1
+        }
+        h
+      }
+    }
     val banded = withSh
-      .withColumn("minhash",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("__sh"), s => xxhash64(i, s)))))
-      .select(col("__id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("b"),
-            xxhash64(b, slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("string")).as("h"))))
-        .as("band"))
-      .select(col("__id"), col("band.b").as("band_id"), col("band.h").as("band_hash"))
+      .select(col("__id"), posexplode(bandHashes(col("__sh"))).as(Seq("band_id", "band_hash")))
     val candidates = banded.as("a").join(banded.as("b"), Seq("band_id", "band_hash"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))

@@ -112,6 +112,106 @@ object GeoJson {
     out.result()
   }
 
+  /** Split a FeatureCollection (or single Feature / bare geometry) into its
+    * geometry JSON snippets plus flat string properties. */
+  def parseFeatures(json: String): Seq[(Geometry, Map[String, String])] = {
+    def propsOf(feature: String): Map[String, String] =
+      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(
+        "\"properties\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(feature)
+          .map(_.group(1)).getOrElse(""))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    def geometrySnippet(feature: String): String = {
+      val i0 = feature.indexOf("\"geometry\"")
+      require(i0 >= 0, "feature without geometry")
+      val start = feature.indexOf('{', i0)
+      var depth = 0; var i = start
+      while (i < feature.length) {
+        feature.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) return feature.substring(start, i + 1)
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException("unbalanced feature")
+    }
+    str(json, "type") match {
+      case "FeatureCollection" =>
+        // top-level feature objects inside the "features" array
+        val i0 = json.indexOf("\"features\"")
+        val start = json.indexOf('[', i0)
+        var depth = 0; var objDepth = 0; var objStart = -1
+        val feats = Seq.newBuilder[String]
+        var i = start
+        var done = false
+        while (i < json.length && !done) {
+          json.charAt(i) match {
+            case '[' => depth += 1
+            case ']' => depth -= 1; if (depth == 0) done = true
+            case '{' => if (objDepth == 0) objStart = i; objDepth += 1
+            case '}' => objDepth -= 1; if (objDepth == 0) feats += json.substring(objStart, i + 1)
+            case _ =>
+          }
+          i += 1
+        }
+        feats.result().map(f => (parseGeometry(geometrySnippet(f)), propsOf(f)))
+      case "Feature" => Seq((parseGeometry(geometrySnippet(json)), propsOf(json)))
+      case _ => Seq((parseGeometry(json), Map.empty[String, String]))
+    }
+  }
+
+  /** geojson-areas (api/functions/geojson.go:144-156): the valid polygons of
+    * a document; rings wound the wrong way — the reference's S2 loops whose
+    * area exceeds 2 pi — are inverted, i.e. exteriors normalize to CCW in
+    * lon/lat. Invalid polygons are skipped. */
+  def geojsonAreas(json: String): Seq[Geometry] = {
+    parseFeatures(json).map(_._1).collect {
+      case p: Polygon => normalizeCcw(p)
+      case mp: org.locationtech.jts.geom.MultiPolygon =>
+        GeoOps.factory.createMultiPolygon(
+          (0 until mp.getNumGeometries)
+            .map(i => normalizeCcw(mp.getGeometryN(i).asInstanceOf[Polygon])).toArray)
+    }.filter(_.isValid)
+  }
+
+  private def normalizeCcw(p: Polygon): Polygon = {
+    val shell = p.getExteriorRing.getCoordinates
+    val ccw =
+      if (org.locationtech.jts.algorithm.Orientation.isCCW(shell)) shell else shell.reverse
+    GeoOps.factory.createPolygon(
+      GeoOps.factory.createLinearRing(ccw),
+      (0 until p.getNumInteriorRing).map(i =>
+        GeoOps.factory.createLinearRing(p.getInteriorRingN(i).getCoordinates)).toArray)
+  }
+
+  /**
+   * import-geojson(-file) (api/functions/geojson.go:104-141): a GeoJSON
+   * document as world-shaped feature rows (id struct, tags from properties,
+   * geometry + index columns), ready to union into a world
+   * (ingest/change.go:44-110 AddFeatures). Feature ids are the document
+   * positions under the given namespace.
+   */
+  def importGeoJson(spark: org.apache.spark.sql.SparkSession, json: String,
+                    ns: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.CellExprs.install(spark)
+    import spark.implicits._
+    val rows = parseFeatures(json).zipWithIndex.map { case ((g, props), i) =>
+      val ftype = g.getGeometryType match {
+        case "Point" => "point"
+        case "LineString" | "MultiLineString" => "path"
+        case _ => "area"
+      }
+      val c = if (ftype == "point") g.getCoordinate else g.getCentroid.getCoordinate
+      (ftype, ns, i.toLong, props, c.y, c.x, GeoOps.toWkb(g))
+    }
+    rows.toDF("ftype", "ns", "value", "tags", "lat", "lng", "geom")
+      .select(struct(col("ftype"), col("ns"), col("value")).as("id"),
+        col("tags"), col("lat"), col("lng"), col("geom"))
+      .withColumn("cell16", graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .withColumn("covering", graft.functions.CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
+  }
+
   private def numbers(s: String): Array[Double] =
     s.split(',').map(_.trim).filter(_.nonEmpty).map(_.toDouble)
 

@@ -29,6 +29,36 @@ class SourcesSpec extends SparkSuite {
     assert(fc.contains("\\\"b\\\""))
   }
 
+  test("parseFeatures + importGeoJson over the reference's own geojson fixtures") {
+    import org.apache.spark.sql.functions._
+    val fc = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/data/tests/granary-square.geojson"))
+    val feats = GeoJson.parseFeatures(fc)
+    assert(feats.length == 1 && feats.head._1.getGeometryType == "Polygon")
+    val colours = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/data/tests/colour-areas.geojson"))
+    val cf = GeoJson.parseFeatures(colours)
+    assert(cf.nonEmpty && cf.forall(_._1.getGeometryType == "Polygon"))
+    assert(cf.head._2.get("id").contains("0"), cf.head._2.toString)
+    // import: world-shaped rows with index ids, geometry and covering columns
+    val world = GeoJson.importGeoJson(spark, colours, "geojson/test")
+    assert(world.count() == cf.length)
+    assert(world.where(col("id.ftype") === "area").count() == cf.length)
+    assert(world.select("covering").head.getSeq[Long](0).nonEmpty)
+  }
+
+  test("geojson-areas inverts wrong-winding rings and drops invalid polygons (geojson.go:144-156)") {
+    // same square wound CW (the reference's >2-pi loop case)
+    val cw = """{"type":"Polygon","coordinates":[[[-0.13,51.53],[-0.13,51.54],[-0.12,51.54],[-0.12,51.53],[-0.13,51.53]]]}"""
+    val areas = GeoJson.geojsonAreas(cw)
+    assert(areas.length == 1)
+    assert(org.locationtech.jts.algorithm.Orientation.isCCW(
+      areas.head.asInstanceOf[org.locationtech.jts.geom.Polygon].getExteriorRing.getCoordinates))
+    // a self-intersecting bowtie is invalid and dropped
+    val bowtie = """{"type":"Polygon","coordinates":[[[0,0],[1,1],[1,0],[0,1],[0,0]]]}"""
+    assert(GeoJson.geojsonAreas(bowtie).isEmpty)
+  }
+
   test("FNV-1 tile feature ids match the reference algorithm (golden vectors)") {
     assert(TileIds.tileFeatureId(0L, "graft/events", 0L) == 7414288829670906107L)
     assert(TileIds.tileFeatureId(0L, "graft/events", 123L) == -5979490527527117250L)
@@ -52,6 +82,17 @@ class SourcesSpec extends SparkSuite {
     assert(perKind("s2") == 50)
     assert(perKind("a2") >= 50 * 17 - 100, s"ancestors per cell16: $perKind") // 17 levels, some shared
     assert(perKind.contains("#"))
+  }
+
+  test("debug-all-query returns a token's posting list; count-tag-value is the 1-row collection") {
+    import org.apache.spark.sql.functions._
+    val world = graft.sources.OsmWorld.features(
+      spark, "/root/reference/data/tests/granary-square.osm.pbf")
+    val posting = graft.index.FeatureIndex.debugAllQuery(world, "#amenity=bicycle_parking")
+    assert(posting.count() == 11) // BIKE_PARKING_IN_GRANARY_SQUARE golden
+    val ctv = graft.index.FeatureIndex.countTagValue(
+      world, "area", "openstreetmap.org/way", 427900370L, "name").collect()
+    assert(ctv.length == 1 && ctv(0).getString(1) == "The Lighterman" && ctv(0).getLong(2) == 1L)
   }
 
   test("FeatureIndex: cell-bucketed layout prunes partitions on covering scans") {

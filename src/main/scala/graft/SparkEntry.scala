@@ -643,6 +643,26 @@ object SparkEntry {
          |ORDER BY poly_id, vertex_idx""".stripMargin
     },
 
+    // -- FNV-1 tile feature ids, replayed byte-by-byte in SQL (HUGEINT mul,
+    //    xor on the low byte) — bit-exact vs the Catalyst expression --
+    "sj_tile_fid" ->
+      """WITH RECURSIVE fnv(point_id, i, h) AS (
+        |  SELECT event_id, 0, CAST(14695981039346656037 AS HUGEINT) FROM events
+        |  UNION ALL
+        |  SELECT point_id, i + 1,
+        |    ((h * 1099511628211) % 18446744073709551616)
+        |      - (((h * 1099511628211) % 18446744073709551616) % 256)
+        |      + xor(CAST(((h * 1099511628211) % 18446744073709551616) % 256 AS BIGINT),
+        |            CASE
+        |              WHEN i < 8 THEN 0
+        |              WHEN i < 20 THEN ord(substr('graft/events', i - 7, 1))
+        |              ELSE CAST((point_id // CAST(power(2, 8 * (i - 20)) AS BIGINT)) % 256 AS BIGINT)
+        |            END)
+        |  FROM fnv WHERE i < 28)
+        |SELECT point_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fid
+        |FROM fnv WHERE i = 28 ORDER BY point_id""".stripMargin,
+
     // -- exact cosine top-k: DuckDB list_dot_product is a sequential double
     //    accumulation, bit-identical to Spark's aggregate(zip_with(...)) --
     "ann_topk" ->

@@ -43,6 +43,9 @@ object ScaleRunner {
         .groupBy("tile_xx", "tile_yy").agg(count(lit(1)))
       mode match {
         case "pip" => pip.count()
+        case "pipn" => // single-level plan: one join key per probe row
+          SpatialJoins.pointInPolygonJoin(images, polygons,
+            normalizeLevel = Some(sys.env.getOrElse("SPARK_GRAFT_NORM_LEVEL", "13").toInt)).count()
         case "tiles" => tiles.count()
         case "gen" => images.agg(count(when(col("cell16") % 7 === 0, 1))).collect()(0).getLong(0)
         case "split" => pip.count() + tiles.count()

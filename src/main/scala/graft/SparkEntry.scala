@@ -178,6 +178,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "ann_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dupes = e.where(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"), col("label"))
+      graft.operators.Ann.cosineNearDupPairs(e.unionByName(dupes), 0.99)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
     // -- graph reachability (SURVEY §2.B graph operators) --
     // all gr_* run on the seeded 12x12 street grid whose edges are ALSO
     // embedded verbatim in the DuckDB oracles (same driver-computed doubles),
@@ -675,6 +684,21 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
         |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // -- embedding near-dup pairs: the exact cosine verify makes the output
+    //    the set of >= threshold pairs, checkable by brute force in SQL --
+    "ann_neardup" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(1.0001 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // geo_scalar / geo_hull: JTS geometry (shoelace areas, hulls) is not
     // ANSI-SQL-expressible without trig — rows-only; exactness covered by the

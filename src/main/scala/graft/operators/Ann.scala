@@ -50,6 +50,50 @@ object Ann {
     }
 
   /**
+   * Embedding-cosine near-duplicate PAIRS: self-join on SRP buckets, exact
+   * cosine refine at `threshold` — the embedding-space member of the dedup
+   * family (exact / minhash / simhash / ngram live in TextOps). Bucket
+   * equi-join, never a cross join; pairs emit once (id_a < id_b).
+   */
+  def cosineNearDupPairs(data: DataFrame, threshold: Double, bits: Int = 8,
+                         tables: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = data.sparkSession
+    val dim = data.select(size(col(vecCol))).head.getInt(0)
+    val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
+    val buckets = udf { (vec: Seq[Float]) =>
+      val pl = bp.value
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var b = 0L; var p = 0
+        while (p < bits) {
+          val plane = pl(t * bits + p)
+          var s = 0.0; var i = 0
+          val n = math.min(vec.length, plane.length)
+          while (i < n) { s += vec(i).toDouble * plane(i); i += 1 }
+          if (s > 0) b |= (1L << p)
+          p += 1
+        }
+        out(t) = b; t += 1
+      }
+      out
+    }
+    val d = data.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bs", buckets(col("__v")))
+      .select(col("__id"), col("__v"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))
+    val cand = d.as("a").join(d.as("b"), Seq("__t", "__bucket"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("va"), col("b.__v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("cosine",
+        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /**
    * LSH-bucketed approximate NN: join on signed-random-projection bucket over
    * `tables` independent hash tables, then exact cosine within buckets.
    * Recall < 1 by construction; tested against the brute-force baseline.

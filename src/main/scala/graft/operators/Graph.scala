@@ -401,6 +401,27 @@ object Graph {
     dist
   }
 
+  /** b6 `connect` (api/functions/graph.go:522-540): add an edge between two
+    * points if they are not already directly connected (both directions,
+    * like the reference's added path). */
+  def connect(edges: DataFrame, a: Long, b: Long, costMeters: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val existing = edges.where(
+      (col("src") === a && col("dst") === b) || (col("src") === b && col("dst") === a))
+    if (!existing.isEmpty) edges
+    else edges.unionByName(undirected(Seq((a, b, costMeters)).toDF("src", "dst", "cost_m")))
+  }
+
+  /** building-access (api/functions/access.go:10-42, deprecated in the
+    * reference): OD pairs origin -> reachable #building features. */
+  def buildingAccess(edges: DataFrame, origins: DataFrame, budgetMeters: Double,
+                     features: DataFrame, nodeCol: String = "node_id"): DataFrame =
+    reachable(edges, origins, budgetMeters)
+      .join(features.where(col("tags").getItem("#building").isNotNull),
+        col("node") === col(nodeCol))
+      .select(col("origin"), col("node"), col("dist_m"))
+
   /**
    * connect-to-network(-all) (api/functions/graph.go:547-586,
    * graph/connectivity.go): project features onto the street network by

@@ -174,6 +174,15 @@ object GeoJson {
     }.filter(_.isValid)
   }
 
+  /** map-geometries (api/functions/geojson.go:215-262): apply a geometry
+    * transform to every geometry of a document, rebuilding the collection. */
+  def mapGeometries(json: String, f: Geometry => Geometry): String = {
+    val out = parseFeatures(json).map { case (g, props) =>
+      featureToJson(f(g), props)
+    }
+    featureCollection(out)
+  }
+
   private def normalizeCcw(p: Polygon): Polygon = {
     val shell = p.getExteriorRing.getCoordinates
     val ccw =

@@ -40,6 +40,25 @@ class AnnSpec extends SparkSuite {
     assert(got == bruteForce(5))
   }
 
+  test("cosineNearDupPairs finds injected embedding near-dups, not unrelated vectors") {
+    // clone a few vectors with tiny noise -> cosine ~ 1; unrelated pairs stay low
+    val base = data.where(col("vec_id") < 200)
+    val dupes = base.where(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0001f).as("embedding"),
+        col("label"))
+    val all = base.unionByName(dupes)
+    val pairs = Ann.cosineNearDupPairs(all, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 3L).foreach { i =>
+      assert(pairs.contains((i, i + 10000L)), s"clone pair $i missing: $pairs")
+    }
+    // everything reported really is >= threshold (exact verify built in)
+    val verified = Ann.cosineNearDupPairs(all, threshold = 0.99)
+      .select("cosine").as[Double].collect()
+    assert(verified.forall(_ >= 0.99))
+  }
+
   test("cosineLsh achieves reasonable recall vs brute force") {
     val exact = bruteForce(5).map { case (q, _, n) => (q, n) }
     val got = Ann.cosineLsh(data, queries, 5, bits = 5, tables = 16)

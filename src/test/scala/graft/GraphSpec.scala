@@ -133,6 +133,24 @@ class GraphSpec extends SparkSuite {
       s"missing=${(expected.keySet -- used.keySet).take(5)} extra=${(used.keySet -- expected.keySet).take(5)}")
   }
 
+  test("connect adds an edge only when the points are not already adjacent") {
+    val e0 = Seq((1L, 2L, 10.0), (2L, 1L, 10.0)).toDF("src", "dst", "cost_m")
+    assert(Graph.connect(e0, 1L, 2L, 99.0).count() == 2, "already connected: unchanged")
+    val e1 = Graph.connect(e0, 1L, 3L, 7.0)
+    assert(e1.count() == 4)
+    assert(e1.where(col("src") === 3L && col("dst") === 1L && col("cost_m") === 7.0).count() == 1)
+  }
+
+  test("buildingAccess pairs origins with reachable #building features") {
+    val features = Seq(
+      (5L, Map("#building" -> "yes")), (7L, Map("#amenity" -> "cafe")))
+      .toDF("node_id", "tags")
+    val e = Graph.undirected(Seq((0L, 5L, 100.0), (0L, 7L, 100.0)).toDF("src", "dst", "cost_m"))
+    val got = Graph.buildingAccess(e, Seq(0L).toDF("origin"), 500.0, features)
+      .select("node").as[Long].collect().toSet
+    assert(got == Set(5L), "only the #building node qualifies")
+  }
+
   test("filterAccessible keeps surviving OD rows and emits the invalid sentinel") {
     val od = Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 10L)).toDF("origin", "node")
     val survivors = Seq(10L, 11L).toDF("ok")

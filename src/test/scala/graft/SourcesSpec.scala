@@ -47,6 +47,16 @@ class SourcesSpec extends SparkSuite {
     assert(world.select("covering").head.getSeq[Long](0).nonEmpty)
   }
 
+  test("map-geometries applies a transform to every geometry, keeping properties") {
+    val fc = GeoJson.featureCollection(Seq(
+      GeoJson.featureToJson(GeoOps.point(51.5, -0.1), Map("name" -> "a")),
+      GeoJson.featureToJson(GeoOps.point(51.6, -0.2), Map("name" -> "b"))))
+    val out = GeoJson.mapGeometries(fc, g => GeoOps.point(g.getCoordinate.y + 1.0, g.getCoordinate.x))
+    val feats = GeoJson.parseFeatures(out)
+    assert(feats.map(_._1.getCoordinate.y).toSet == Set(52.5, 52.6))
+    assert(feats.map(_._2("name")).toSet == Set("a", "b"))
+  }
+
   test("geojson-areas inverts wrong-winding rings and drops invalid polygons (geojson.go:144-156)") {
     // same square wound CW (the reference's >2-pi loop case)
     val cw = """{"type":"Polygon","coordinates":[[[-0.13,51.53],[-0.13,51.54],[-0.12,51.54],[-0.12,51.53],[-0.13,51.53]]]}"""

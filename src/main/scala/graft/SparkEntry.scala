@@ -224,6 +224,16 @@ object SparkEntry {
         .orderBy("origin", "node")
     }),
 
+    "gr_od_hist" -> ((s, d) => {
+      import s.implicits._
+      val (nodes, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      val od = graft.operators.Graph.reachable(
+        edges, Seq(0L, 71L, 143L).toDF("origin"), 700.0).select("origin", "node")
+      val survivors = nodes.where(col("node_id") >= 100).select("node_id")
+      Aggs.odHistogram(graft.operators.Graph.filterAccessible(od, survivors))
+        .orderBy("n_valid")
+    }),
+
     "gr_degree" -> ((s, d) => {
       // degree (features.go:212-219): segments meeting at each node
       val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
@@ -636,6 +646,19 @@ object SparkEntry {
          |SELECT origin, CAST(-1 AS BIGINT) AS node FROM (SELECT DISTINCT origin FROM d)
          |WHERE origin NOT IN (SELECT DISTINCT origin FROM kept)
          |ORDER BY origin, node""".stripMargin,
+    "gr_od_hist" ->
+      s"""WITH RECURSIVE $gridEdgesCte, ${walkCtes(Seq(0L, 71L, 143L), 700.0)},
+         |kept AS (SELECT origin, node FROM d WHERE node >= 100),
+         |fa AS (SELECT origin, node FROM kept
+         |  UNION ALL
+         |  SELECT origin, CAST(-1 AS BIGINT) FROM (SELECT DISTINCT origin FROM d)
+         |  WHERE origin NOT IN (SELECT DISTINCT origin FROM kept)),
+         |per_origin AS (
+         |  SELECT origin, CAST(sum(CASE WHEN node <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+         |  FROM fa GROUP BY origin)
+         |SELECT n_valid, count(*) AS n_origins FROM per_origin
+         |GROUP BY n_valid ORDER BY n_valid""".stripMargin,
+
     "gr_degree" ->
       s"""WITH $gridEdgesCte
          |SELECT src AS node_id, count(*) AS degree FROM e

@@ -128,6 +128,15 @@ object Aggs {
     labeled.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
   }
 
+  /** Origin-destination histogram (api/histogram.go:139-178): per origin the
+    * number of VALID destinations (the filter-accessible invalid sentinel
+    * counts as zero), then origins bucketed by that count. */
+  def odHistogram(od: DataFrame, keyCol: String = "origin", valueCol: String = "node",
+                  invalidId: Long = -1L): DataFrame =
+    od.groupBy(col(keyCol))
+      .agg(sum(when(col(valueCol) =!= invalidId, 1L).otherwise(0L)).as("n_valid"))
+      .groupBy("n_valid").agg(count(lit(1)).as("n_origins"))
+
   /**
    * histogram-with-id / histogram-swatch(-with-id)
    * (api/functions/collections.go:447-483, api/histogram.go:15-60): persist a

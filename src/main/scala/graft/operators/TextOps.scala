@@ -170,21 +170,33 @@ object TextOps {
   }
 
   /** SimHash (64-bit): per token-hash bit, +1/-1 vote; signature bit b set when
-    * the vote sum is positive. Hamming-adjacent docs are near-dups. */
+    * the vote sum is positive. Hamming-adjacent docs are near-dups.
+    * One FNV-1a hash + avalanche per token, 64 vote updates in a tight loop —
+    * the interpreted HOF formulation (64-element array rebuild per token) was
+    * 6 s for 500 docs. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val votes = aggregate(toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
-        (x, y) => x + y))
-    df.withColumn("simhash",
-      aggregate(
-        zip_with(votes, sequence(lit(0), lit(63)),
-          (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)))
-      .select(col(idCol), col("simhash"))
+    val sig = udf { (text: String) =>
+      val votes = new Array[Int](64)
+      var start = 0
+      val n = text.length
+      while (start <= n) {
+        var end = text.indexOf(' ', start)
+        if (end < 0) end = n
+        val h = graft.model.Fixtures.splitmix64(
+          graft.functions.TileIds.fnv1a(text.substring(start, end)))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = end + 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    df.withColumn("simhash", sig(col(textCol))).select(col(idCol), col("simhash"))
   }
 
   /** SimHash near-dup pairs: bucket by 4 x 16-bit sub-keys (any pair within

@@ -61,6 +61,14 @@ case class IntersectsCap(lat: Double, lng: Double, radiusMeters: Double) extends
 case class IntersectsGeom(wkb: Array[Byte]) extends Query {
   def toColumn: Column = CellExprs.wkb_covers_point(lit(wkb), col("lat"), col("lng"))
 }
+/** IntersectsCells (b6/spatial.go:59-201): features inside any of the given
+  * cells. Exact for point features: containment in a cell == the point's
+  * ancestor at the cell's level IS that cell (no geometry test needed). */
+case class IntersectsCells(cells: Seq[Long]) extends Query {
+  def toColumn: Column = cells.map { c =>
+    CellExprs.cell_parent_at(col("cell16"), lit(graft.core.Cells.level(c))) === c
+  }.reduce(_ || _)
+}
 /** Features whose GEOMETRY intersects a literal polyline — the exact-JTS form
   * of IntersectsPolyline (b6/spatial.go:509-607; the reference approximates
   * area intersection by vertex containment, TODO'd at :562 — we refine

@@ -88,6 +88,16 @@ object Bench {
       f""","camden_building_cap":{"rows":$n,"qps":${runs / sec}%.1f}"""
     }
 
+    // inventory-only mode: skip the (long) scaling part for per-query timing
+    // refreshes; the scaling numbers then echo zeros
+    if (sys.env.get("SPARK_GRAFT_BENCH_INVENTORY_ONLY").contains("1")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total0 = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"operator inventory sec","value":$total0,"unit":"sec","total_query_sec":$total0,"queries":$qs0$camden,"sf":"$sfDir"}""")
+      return
+    }
+
     // part 2: scaling — same job, same input, N vs 4N cores, each parallelism
     // level in its OWN JVM (identical JIT warmup; no cross-level bias).
     // 4 -> 16 is the headline pair: this box has 32 physical cores and scales

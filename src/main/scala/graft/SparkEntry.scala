@@ -101,6 +101,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n")).orderBy("tx", "ty")),
     "sj_cap_agg" -> ((s, d) => SpatialJoins.withinCap(Fixtures.points(s, d), 51.5353, -0.1258, 1500.0)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n")).orderBy("event_type")),
+    "sj_intersection" -> ((s, d) => {
+      // geometry-intersection join: a box around every 100th point vs the
+      // fixture polygons (IntersectsMultiPolygon semantics, spatial.go:609-711)
+      graft.functions.GeoFunctions.install(s)
+      val boxWkb = udf { (lat: Double, lng: Double) =>
+        GeoOps.toWkb(GeoOps.fromWkt(
+          f"POLYGON ((${lng - 0.002}%.6f ${lat - 0.002}%.6f, ${lng + 0.002}%.6f ${lat - 0.002}%.6f, " +
+            f"${lng + 0.002}%.6f ${lat + 0.002}%.6f, ${lng - 0.002}%.6f ${lat + 0.002}%.6f, " +
+            f"${lng - 0.002}%.6f ${lat - 0.002}%.6f))"))
+      }
+      val boxes = Fixtures.points(s, d).where(col("point_id") % 100 === 0)
+        .select(col("point_id"), boxWkb(col("lat"), col("lng")).as("geom"))
+      SpatialJoins.intersectionJoin(boxes,
+          Fixtures.polygons(s).select(col("poly_id"), col("geom").as("pgeom")),
+          leftGeom = "geom", rightGeom = "pgeom")
+        .select(col("point_id"), col("poly_id")).orderBy("point_id", "poly_id")
+    }),
 
     // -- aggregations (SURVEY §2.B aggregations) --
     "ag_count_values" -> ((s, d) => Aggs.countValues(t(s, d, "events"), "event_type")

@@ -76,6 +76,14 @@ object Graph {
     Csr(nodeIds, offsets, dstIdx, costs)
   }
 
+  /** A street network prepared for repeated searches: collect + CSR-build +
+    * broadcast happen ONCE; every reachable/closest/paths-to-reach call over
+    * the same Network reuses the executor-resident structure instead of
+    * re-collecting the edge table per query. */
+  final case class Network(bc: Broadcast[Csr])
+
+  def network(edges: DataFrame): Network = Network(broadcastCsr(edges))
+
   private def broadcastCsr(edges: DataFrame): Broadcast[Csr] = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -153,9 +161,15 @@ object Graph {
                 maxBroadcastEdges: Long = DefaultMaxBroadcastEdges): DataFrame = {
     if (edges.count() > maxBroadcastEdges)
       return reachableIterative(edges, origins, budgetMeters, originCol)
-    val spark = edges.sparkSession
+    reachable(network(edges), origins, budgetMeters, originCol)
+  }
+
+  /** Repeated-search variant over a prepared Network (no per-call collect). */
+  def reachable(net: Network, origins: DataFrame, budgetMeters: Double,
+                originCol: String): DataFrame = {
+    val spark = origins.sparkSession
     import spark.implicits._
-    val bc = broadcastCsr(edges)
+    val bc = net.bc
     origins.select(col(originCol).cast("long")).as[Long].mapPartitions { it =>
       val csr = bc.value
       val (dist, parent, stamp) = scratch(csr.n)
@@ -178,10 +192,14 @@ object Graph {
    * Returns (origin, node, dist_m, parent); parent is null at the origin.
    */
   def reachableWithParents(edges: DataFrame, origins: DataFrame,
-                           budgetMeters: Double, originCol: String = "origin"): DataFrame = {
-    val spark = edges.sparkSession
+                           budgetMeters: Double, originCol: String = "origin"): DataFrame =
+    reachableWithParents(network(edges), origins, budgetMeters, originCol)
+
+  def reachableWithParents(net: Network, origins: DataFrame,
+                           budgetMeters: Double, originCol: String): DataFrame = {
+    val spark = origins.sparkSession
     import spark.implicits._
-    val bc = broadcastCsr(edges)
+    val bc = net.bc
     origins.select(col(originCol).cast("long")).as[Long].mapPartitions { it =>
       val csr = bc.value
       val (dist, parent, stamp) = scratch(csr.n)
@@ -236,12 +254,16 @@ object Graph {
    * avoids; we take the early exit). Tiebreak: smaller node id on equal distance.
    */
   def closest(edges: DataFrame, origins: DataFrame, targets: DataFrame,
+              budgetMeters: Double): DataFrame =
+    closest(network(edges), origins, targets, budgetMeters)
+
+  def closest(net: Network, origins: DataFrame, targets: DataFrame,
               budgetMeters: Double): DataFrame = {
-    val spark = edges.sparkSession
+    val spark = origins.sparkSession
     import spark.implicits._
     val targetIds = targets.select(col(targets.columns.head).cast("long"))
       .as[Long].collect().toSet
-    val bc = broadcastCsr(edges)
+    val bc = net.bc
     val bt = spark.sparkContext.broadcast(targetIds)
     origins.select(col("origin").cast("long")).as[Long].mapPartitions { it =>
       val csr = bc.value
@@ -281,10 +303,14 @@ object Graph {
    * reached node; pass `targets` to count paths to a subset only.
    */
   def pathsToReach(edges: DataFrame, origins: DataFrame, budgetMeters: Double,
-                   targets: Option[DataFrame] = None): DataFrame = {
-    val spark = edges.sparkSession
+                   targets: Option[DataFrame] = None): DataFrame =
+    pathsToReach(network(edges), origins, budgetMeters, targets)
+
+  def pathsToReach(net: Network, origins: DataFrame, budgetMeters: Double,
+                   targets: Option[DataFrame]): DataFrame = {
+    val spark = origins.sparkSession
     import spark.implicits._
-    val bc = broadcastCsr(edges)
+    val bc = net.bc
     val bt = spark.sparkContext.broadcast(
       targets.map(_.select(col(targets.get.columns.head).cast("long")).as[Long].collect().toSet))
     val uses = origins.select(col("origin").cast("long")).as[Long].mapPartitions { it =>

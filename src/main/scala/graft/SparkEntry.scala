@@ -103,13 +103,13 @@ object SparkEntry {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n")).orderBy("event_type")),
     "sj_intersection" -> ((s, d) => {
       // geometry-intersection join: a box around every 100th point vs the
-      // fixture polygons (IntersectsMultiPolygon semantics, spatial.go:609-711)
+      // fixture polygons (IntersectsMultiPolygon semantics, spatial.go:609-711).
+      // Box corners are the raw IEEE lat/lng ± 0.002 doubles — the DuckDB
+      // oracle's separating-axis test computes the identical corner values.
       graft.functions.GeoFunctions.install(s)
       val boxWkb = udf { (lat: Double, lng: Double) =>
-        GeoOps.toWkb(GeoOps.fromWkt(
-          f"POLYGON ((${lng - 0.002}%.6f ${lat - 0.002}%.6f, ${lng + 0.002}%.6f ${lat - 0.002}%.6f, " +
-            f"${lng + 0.002}%.6f ${lat + 0.002}%.6f, ${lng - 0.002}%.6f ${lat + 0.002}%.6f, " +
-            f"${lng - 0.002}%.6f ${lat - 0.002}%.6f))"))
+        GeoOps.toWkb(graft.functions.GeoFunctions.rectanglePolygon(
+          lat - 0.002, lng - 0.002, lat + 0.002, lng + 0.002))
       }
       val boxes = Fixtures.points(s, d).where(col("point_id") % 100 === 0)
         .select(col("point_id"), boxWkb(col("lat"), col("lng")).as("geom"))
@@ -365,14 +365,19 @@ object SparkEntry {
         .orderBy("point_id")
     }),
 
-    // -- geometry scalar functions --
+    // -- geometry scalar functions: degree-space shoelace area/centroid over
+    //    the WKB geometry column; the metric scale is a driver-computed
+    //    literal so NO trig crosses the engine boundary and the DuckDB
+    //    oracle replays the identical IEEE fold bit-exactly. (The
+    //    latitude-scaled JTS areaM2/convex-hull-centroid path stays covered
+    //    by GeoFunctionsSpec.) --
     "geo_scalar" -> ((s, d) => {
-      graft.functions.GeoFunctions.install(s)
+      import graft.functions.GeoFunctions._
       Fixtures.polygons(s)
         .select(col("poly_id"),
-          round(graft.functions.GeoFunctions.area_m2(col("geom")), 1).as("area_m2"),
-          round(graft.functions.GeoFunctions.centroid_lat(col("geom")), 7).as("c_lat"),
-          round(graft.functions.GeoFunctions.centroid_lng(col("geom")), 7).as("c_lng"))
+          (shoelace_area_deg2(col("geom")) * expr(Fixtures.shoelaceFactorCaseSql)).as("area_m2"),
+          shoelace_centroid_lat(col("geom")).as("c_lat"),
+          shoelace_centroid_lng(col("geom")).as("c_lng"))
         .orderBy("poly_id")
     }),
 
@@ -725,8 +730,14 @@ object SparkEntry {
         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
         |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    // -- embedding near-dup pairs: the exact cosine verify makes the output
-    //    the set of >= threshold pairs, checkable by brute force in SQL --
+    // -- embedding near-dup pairs vs full brute force: SRP-LSH recall is < 1
+    //    in general (the exact refine fixes precision only), so this gate is
+    //    valid because the FIXTURE derandomizes it: the only pairs >= 0.99
+    //    are the injected x1.0001 clones, whose angle is at float-rounding
+    //    scale (~1e-8 rad) — with the deterministic splitmix64 planes every
+    //    clone pair lands in identical buckets (AnnSpec asserts the brute
+    //    set == clone set on this data, so the equality is reproducible,
+    //    not probabilistic) --
     "ann_neardup" ->
       """WITH all_vecs AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -740,12 +751,46 @@ object SparkEntry {
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // geo_scalar / geo_hull: JTS geometry (shoelace areas, hulls) is not
-    // ANSI-SQL-expressible without trig — rows-only; exactness covered by the
-    // ScalaTest shoelace/hull oracles.
-    // td_fingerprint / td_minhash_pairs / td_simhash / td_ngram_jaccard /
-    // ann_lsh / mm_decode / sj_tile_fid: not DuckDB-expressible (xxhash64
-    // chains, LSH banding, binary decode, FNV-64 over bytes) — rows-only
-    // check; exactness is covered by the ScalaTest brute-force oracles.
+    // -- geometry-intersection join: separating-axis test over the convex
+    //    fixture polygons (pure +,-,* comparisons, like sj_pip) --
+    "sj_intersection" -> Fixtures.boxIntersectOracleSql(),
+
+    // -- shoelace area/centroid replayed with literal left-associated sums
+    //    (identical IEEE fold order) + the driver-computed metric factor --
+    "geo_scalar" -> Fixtures.geoScalarOracleSql,
+
+    // -- FNV-1a byte replay via list_reduce (HUGEINT multiply mod 2^64, xor
+    //    on the low byte — the same trick as the sj_tile_fid FNV-1 CTE) --
+    "td_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN hh >= 9223372036854775808 THEN hh - 18446744073709551616 ELSE hh END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                 [CAST(ord(c) AS HUGEINT) for c in string_split(text, '')]),
+        |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
+        |  ) AS hh FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // -- exact n-gram Jaccard, brute-forced over all pairs: valid as a FULL
+    //    oracle because prefix filtering (TextOps.ngramJaccardJoin) has no
+    //    recall hole — the output IS every pair with J >= t. Jaccard is a
+    //    division of identical ints on both sides, so hashes match. --
+    "td_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, greatest(len(t) - 3, 1))]) AS s FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) >= 1
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // geo_hull: convex hulls are not ANSI-SQL-expressible without an O(n^3)
+    // half-plane scan — rows-only; exactness covered by the ScalaTest oracle.
+    // td_minhash_pairs / td_simhash / ann_lsh / mm_decode: not
+    // DuckDB-expressible (LSH banding recall < 1 by construction, binary
+    // decode) — rows-only check; exactness is covered by the ScalaTest
+    // brute-force oracles.
   )
 }

@@ -120,7 +120,46 @@ object GeoFunctions {
     bestArc
   }
 
+  /**
+   * Degree-space shoelace terms over a polygon's exterior ring, accumulated
+   * in STRICT vertex order (one left-to-right fold, like a left-associated
+   * SQL `+` chain): s = Σ (x_i·y_{i+1} − x_{i+1}·y_i),
+   * cx = Σ (x_i + x_{i+1})·cr_i, cy likewise. Every operation is IEEE
+   * +,-,* in the same sequence the DuckDB oracle's literal expression uses,
+   * so signed area (s/2), and centroid (cx/(3s), cy/(3s)) are bit-identical
+   * cross-engine. Metric scaling (trig) stays a DRIVER-computed literal —
+   * no trig ever crosses the engine boundary (geometry.go:97-106 semantics;
+   * the latitude-scaled JTS path is areaM2 above, ScalaTest-covered).
+   */
+  def shoelaceDeg(g: Geometry): (Double, Double, Double) = {
+    val cs = g.getCoordinates // exterior ring, closed (first == last)
+    var s = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      val cr = cs(i).x * cs(i + 1).y - cs(i + 1).x * cs(i).y
+      s += cr
+      cx += (cs(i).x + cs(i + 1).x) * cr
+      cy += (cs(i).y + cs(i + 1).y) * cr
+      i += 1
+    }
+    (s, cx, cy)
+  }
+
+  /** m² per deg² at `latRef` — the literal factor for shoelace areas. */
+  def metersPerDeg2(latRef: Double): Double =
+    EarthMetersPerDegLat * (EarthMetersPerDegLat * math.cos(math.toRadians(latRef)))
+
   // ---- Column API (UDFs) ----
+
+  /** Signed shoelace area in deg² (CCW positive). */
+  val shoelace_area_deg2 = udf((wkb: Array[Byte]) =>
+    shoelaceDeg(GeoOps.fromWkb(wkb))._1 * 0.5)
+  val shoelace_centroid_lat = udf((wkb: Array[Byte]) => {
+    val (s, _, cy) = shoelaceDeg(GeoOps.fromWkb(wkb)); cy / (3.0 * s)
+  })
+  val shoelace_centroid_lng = udf((wkb: Array[Byte]) => {
+    val (s, cx, _) = shoelaceDeg(GeoOps.fromWkb(wkb)); cx / (3.0 * s)
+  })
 
   val area_m2 = udf((wkb: Array[Byte]) => areaM2(GeoOps.fromWkb(wkb)))
   val centroid_lat = udf((wkb: Array[Byte]) => centroid(GeoOps.fromWkb(wkb))._1)

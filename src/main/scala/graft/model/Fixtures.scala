@@ -109,6 +109,98 @@ object Fixtures {
     s"WITH pts AS ($pts) ${perPoly.mkString(" UNION ALL ")} ORDER BY point_id, poly_id"
   }
 
+  /**
+   * Oracle-side geometry-intersection join (sj_intersection): axis-aligned
+   * boxes (p.lng±dLng, p.lat±dLat) around every `stride`-th point vs the
+   * convex fixture polygons, decided by the SEPARATING-AXIS test — two convex
+   * shapes intersect iff no box axis separates them AND no polygon edge has
+   * all four box corners strictly outside its half-plane. Pure +,-,*
+   * comparisons over the same IEEE doubles the engine's JTS refine sees
+   * (boundary-touching counts as intersecting on both sides).
+   */
+  /** Literal double rendered so DuckDB evaluates it as IEEE DOUBLE, not
+    * exact DECIMAL (whose exact intermediates can differ from the engine's
+    * double arithmetic by an ulp). */
+  private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
+
+  def boxIntersectOracleSql(dLat: Double = 0.002, dLng: Double = 0.002,
+                            stride: Int = 100): String = {
+    val pts = pointsOracleSql()
+    val corners = Seq(("-", "-"), ("+", "-"), ("+", "+"), ("-", "+"))
+    val (dLa, dLo) = (dbl(dLat), dbl(dLng))
+    val perPoly = convexPolygons.map { case (id, _, ring) =>
+      val xs = ring.map(_._1); val ys = ring.map(_._2)
+      val (minX, maxX) = (dbl(xs.min), dbl(xs.max))
+      val (minY, maxY) = (dbl(ys.min), dbl(ys.max))
+      val notSep = s"NOT ($maxX < p.lng - $dLo OR $minX > p.lng + $dLo OR " +
+        s"$maxY < p.lat - $dLa OR $minY > p.lat + $dLa)"
+      val edgeConds = ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.size)
+        // CCW ring: interior has cross >= 0; the edge separates iff ALL
+        // corners have cross < 0 — i.e. intersection needs >= 1 corner inside
+        corners.map { case (sx, sy) =>
+          s"((${dbl(x2)} - ${dbl(x1)}) * ((p.lat $sy $dLa) - ${dbl(y1)}) - " +
+            s"(${dbl(y2)} - ${dbl(y1)}) * ((p.lng $sx $dLo) - ${dbl(x1)})) >= 0"
+        }.mkString("(", " OR ", ")")
+      }
+      s"SELECT p.point_id, CAST($id AS BIGINT) AS poly_id FROM pts p " +
+        s"WHERE p.point_id % $stride = 0 AND $notSep AND ${edgeConds.mkString(" AND ")}"
+    }
+    s"WITH pts AS ($pts) ${perPoly.mkString(" UNION ALL ")} ORDER BY point_id, poly_id"
+  }
+
+  // ---- shoelace oracle (geo_scalar) -------------------------------------------
+
+  /** Left-associated literal sum — parses to the same fold order as the
+    * engine's sequential while-loop accumulation. */
+  private def sumSql(terms: Seq[String]): String = terms.mkString("(", " + ", ")")
+
+  private def shoelaceTerms(ring: Seq[(Double, Double)]): (Seq[String], Seq[String], Seq[String]) = {
+    val closed = ring :+ ring.head
+    val t = closed.sliding(2).toSeq.map { case Seq((x1, y1), (x2, y2)) =>
+      val cr = s"((${dbl(x1)} * ${dbl(y2)}) - (${dbl(x2)} * ${dbl(y1)}))"
+      (cr, s"((${dbl(x1)} + ${dbl(x2)}) * $cr)", s"((${dbl(y1)} + ${dbl(y2)}) * $cr)")
+    }
+    (t.map(_._1), t.map(_._2), t.map(_._3))
+  }
+
+  /** Driver-side shoelace over the literal ring (same fold order). */
+  def shoelaceOf(ring: Seq[(Double, Double)]): (Double, Double, Double) = {
+    val closed = ring :+ ring.head
+    var s = 0.0; var cx = 0.0; var cy = 0.0
+    closed.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      val cr = x1 * y2 - x2 * y1
+      s += cr; cx += (x1 + x2) * cr; cy += (y1 + y2) * cr
+    }
+    (s, cx, cy)
+  }
+
+  /** Per-polygon m²-per-deg² factors (driver trig, literal in BOTH engines —
+    * latRef is the polygon's shoelace centroid latitude). */
+  def shoelaceFactors: Seq[(Long, Double)] = convexPolygons.map { case (id, _, ring) =>
+    val (s, _, cy) = shoelaceOf(ring)
+    (id, graft.functions.GeoFunctions.metersPerDeg2(cy / (3.0 * s)))
+  }
+
+  /** Spark-side factor lookup as a shared CASE literal. */
+  def shoelaceFactorCaseSql: String =
+    shoelaceFactors.map { case (id, k) => s"WHEN $id THEN CAST($k AS DOUBLE)" }
+      .mkString("CASE poly_id ", " ", " END")
+
+  /** DuckDB-side geo_scalar oracle: literal shoelace sums per polygon. */
+  def geoScalarOracleSql: String = {
+    val perPoly = convexPolygons.map { case (id, _, ring) =>
+      val (sT, cxT, cyT) = shoelaceTerms(ring)
+      val k = shoelaceFactors.find(_._1 == id).get._2
+      s"SELECT CAST($id AS BIGINT) AS poly_id, " +
+        s"((${sumSql(sT)} * 0.5) * CAST($k AS DOUBLE)) AS area_m2, " +
+        s"(${sumSql(cyT)} / (3.0 * ${sumSql(sT)})) AS c_lat, " +
+        s"(${sumSql(cxT)} / (3.0 * ${sumSql(sT)})) AS c_lng"
+    }
+    s"${perPoly.mkString(" UNION ALL ")} ORDER BY poly_id"
+  }
+
   /** Seeded polygon fleet for benchmarks: n pentagons of varied size (0.3-4 km)
     * over the point bbox, overlapping the hot cluster — a realistic feature
     * side (hundreds of areas) for the flagship spatial join. */

@@ -40,25 +40,64 @@ object Aggs {
     df.orderBy(col(orderCol)).limit(n)
 
   /**
+   * Global rank/cumulative-count over the distinct (v, c) pairs WITHOUT a
+   * single-task sort: the distinct set is range-partitioned on the sort key,
+   * ranked within each partition, and the per-partition (distinct-count,
+   * row-count) totals — at most `numParts` tiny rows — are collected to the
+   * driver, turned into cumulative offsets and broadcast back. At 10M+
+   * distinct values the old `Window.orderBy` plan funneled every distinct
+   * value through ONE task; this plan's widest single task holds one range
+   * partition.
+   *
+   * `counts` must have columns (v, c); `order` is the total sort order over
+   * `v`-rows (e.g. `col("v")` ascending, or `(c desc, v)` for categorical
+   * histograms). Returns (v, c, r, cum_before, d, total): r = 0-based global
+   * rank, cum_before = total c over strictly-earlier rows, d = distinct
+   * count, total = sum of c.
+   */
+  private[graft] def rankedCounts(counts: DataFrame, order: Seq[Column],
+                                  numParts: Int = 32): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val parts = counts.repartitionByRange(numParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val local = parts
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .withColumn("__lcum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perPart = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("nc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var dOff = 0L; var cOff = 0L
+    val offs = perPart.toSeq.map { case (pid, nd, nc) =>
+      val o = (pid, dOff, cOff); dOff += nd; cOff += nc; o
+    }
+    val offDf = offs.toDF("__pid", "__doff", "__coff")
+    local.join(broadcast(offDf), "__pid")
+      .select(col("v"), col("c"),
+        (col("__lr") - 1L + col("__doff")).as("r"),
+        (col("__lcum") - col("c") + col("__coff")).as("cum_before"),
+        lit(dOff).as("d"), lit(cOff).as("total"))
+  }
+
+  /**
    * percentiles (math.go:85-115): sort ascending; each value maps to
    * firstIndexOfThatValue / n — ties share the first index.
    *
-   * Scale shape: the window runs over the AGGREGATED DISTINCT values (like
-   * histogramUniform), never over the raw rows — an unpartitioned window over
-   * the data itself would funnel everything through one task. The per-row
-   * result comes back via an equi-join on the value, and the total row count
-   * is a window sum over the same distinct set (no second scan).
+   * Scale shape: ranks run over the AGGREGATED DISTINCT values via
+   * `rankedCounts` (range-partitioned, per-partition offsets) — no
+   * unpartitioned window anywhere. The per-row result comes back via a
+   * NULL-SAFE equi-join on the value (`<=>`), so rows with a null value keep
+   * their (first-ranked, percentile 0) row instead of dropping out.
    */
   def percentiles(df: DataFrame, valueCol: String): DataFrame = {
-    val w = Window.orderBy(col(valueCol))
-    val ranked = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
-      .withColumn("__first",
-        sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("__c"))
-      .withColumn("percentile",
-        col("__first").cast("double") / sum(col("__c")).over().cast("double"))
-      .select(col(valueCol), col("percentile"))
-    df.join(ranked, Seq(valueCol))
+    val ranked = rankedCounts(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")), Seq(col("v")))
+      .select(col("v").as("__v"),
+        (col("cum_before").cast("double") / col("total").cast("double")).as("percentile"))
+    df.join(ranked, col(valueCol) <=> col("__v")).drop("__v")
   }
 
   /**
@@ -75,9 +114,7 @@ object Aggs {
   def histogramUniform(df: DataFrame, valueCol: String, maxBuckets: Int = 6): DataFrame = {
     require(maxBuckets == 6, "reference semantics fix MaxHistogramBuckets=6")
     val vals = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-    val ranked = vals.select(col("v"), col("c"),
-      (row_number().over(Window.orderBy(col("v"))) - 1).as("r"),
-      count(lit(1)).over().as("d"))
+    val ranked = rankedCounts(vals, Seq(col("v"))).select("v", "c", "r", "d")
     // greedy closed form: e1 = d/6; e_{i+1} = e_i + (d - e_i)/(6-i)  (int div)
     val bucketed = ranked
       .withColumn("e1", expr("d div 6"))
@@ -120,9 +157,7 @@ object Aggs {
    */
   def histogramCategorical(df: DataFrame, valueCol: String): DataFrame = {
     val counts = df.groupBy(col(valueCol).cast("string").as("v")).agg(count(lit(1)).as("c"))
-    val ranked = counts.select(col("v"), col("c"),
-      (row_number().over(Window.orderBy(col("c").desc, col("v"))) - 1).as("r"),
-      count(lit(1)).over().as("d"))
+    val ranked = rankedCounts(counts, Seq(col("c").desc, col("v"))).select("v", "c", "r", "d")
     val labeled = ranked.withColumn("bucket",
       when(col("d") <= 6 || col("r") < 5, col("v")).otherwise(lit("other")))
     labeled.groupBy(col("bucket")).agg(sum(col("c")).as("n"))

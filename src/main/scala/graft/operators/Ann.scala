@@ -57,7 +57,8 @@ object Ann {
    */
   def cosineNearDupPairs(data: DataFrame, threshold: Double, bits: Int = 8,
                          tables: Int = 8,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucketSize: Int = 1024): DataFrame = {
     val spark = data.sparkSession
     val dim = data.select(size(col(vecCol))).head.getInt(0)
     val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
@@ -79,15 +80,18 @@ object Ann {
       }
       out
     }
-    val d = data.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val base = data.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = base
       .withColumn("__bs", buckets(col("__v")))
-      .select(col("__id"), col("__v"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))
-    val cand = d.as("a").join(d.as("b"), Seq("__t", "__bucket"))
-      .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__v").as("va"), col("b.__v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("cosine",
+      .select(col("__id"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))
+    // ids-only bucket join with the hot-bucket star bound (same discipline as
+    // TextOps.bucketCandidates); vectors re-attach by id for the exact refine
+    val cand = graft.operators.TextOps.bucketCandidates(d, Seq("__t", "__bucket"), maxBucketSize)
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cosine",
         dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

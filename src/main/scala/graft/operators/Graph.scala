@@ -130,7 +130,11 @@ object Graph {
               if (stamp(v) != version || nd < dist(v)) {
                 dist(v) = nd; parent(v) = u; stamp(v) = version
                 pq.add((nd, v))
-              } else if (nd == dist(v) && csr.nodeIds(u) < csr.nodeIds(parent(v))) {
+              } else if (nd == dist(v) && parent(v) >= 0 &&
+                  csr.nodeIds(u) < csr.nodeIds(parent(v))) {
+                // parent(v) == -1 marks the search origin: a zero-cost edge
+                // relaxing back into it (duplicate-coordinate way vertices,
+                // 0-second transit hops) must not dereference nodeIds(-1)
                 parent(v) = u
               }
             }

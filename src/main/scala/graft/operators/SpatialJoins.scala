@@ -105,13 +105,22 @@ object SpatialJoins {
 
     val pCellAtLevel = cell_parent_at(col(pointCell), lit(level))
     val pts = points.withColumn("__pc", pCellAtLevel)
-    val sitesTotal = sites.count() // invariant — hoisted out of the ring loop
 
+    // Ring-loop scale shape: the accumulated candidate set is
+    // localCheckpoint()ed every ring, so ring r's job computes ONLY its new
+    // annulus join (one probe-table scan) plus a cheap read of materialized
+    // partitions — without the checkpoint, ring r re-executed all r-1 prior
+    // probe joins and doubling the rings was quadratic work. Sites whose
+    // guarantee already holds are SETTLED: their top-k rows move to the
+    // result, their candidates leave the loop, and later annuli are built
+    // from the remaining `active` sites only.
     var ring = 1 // disk radius of the CURRENT candidate set
     var prevRing = 0 // radius already scanned (annulus growth, not rescans)
     var done = false
+    var active = sites
+    var activeCount = sites.count() // invariant per iteration — one tiny job
     var cand: DataFrame = null
-    var result: DataFrame = null
+    var settled: DataFrame = null
     while (!done) {
       // only the NEW annulus of cells joins against the big side; earlier
       // rings' candidates are accumulated, so each doubling scans the probe
@@ -121,10 +130,10 @@ object SpatialJoins {
         if (prevRing == 0) cell_neighbor_disk(siteCell, lit(ring))
         else array_except(cell_neighbor_disk(siteCell, lit(ring)),
           cell_neighbor_disk(siteCell, lit(prevRing)))
-      val siteCells = sites.withColumn("__sc", explode(annulus))
+      val siteCells = active.withColumn("__sc", explode(annulus))
       val delta = pts.join(broadcast(siteCells), col("__pc") === col("__sc"))
         .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
-      cand = if (cand == null) delta else cand.unionByName(delta)
+      cand = (if (cand == null) delta else cand.unionByName(delta)).localCheckpoint()
       val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
       val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       // guarantee: any point outside disk `ring` is >= ring * minCellDim away.
@@ -142,17 +151,32 @@ object SpatialJoins {
           cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat)))
         .withColumn("ok", col("n") === k &&
           col("kth") <= lit(ring.toDouble) * col("minDim"))
-      val okCount = guarantees.where(col("ok")).count()
+      // sites are the SMALL side by contract: the settled ids fit the driver
+      val okIds = guarantees.where(col("ok")).select(col("site_id")).collect().map(_.get(0))
       val gridExhausted = ring >= (1L << level)
-      if (okCount == sitesTotal || gridExhausted) {
-        result = top.drop("__pc", "__sc")
+      val finished =
+        if (gridExhausted) top
+        else if (okIds.isEmpty) null
+        else top.where(col("site_id").isin(okIds: _*))
+      if (finished != null) {
+        // settled rows are <= k per site — tiny; checkpoint keeps the final
+        // union free of the whole ring-loop lineage
+        settled = (if (settled == null) finished
+                   else settled.unionByName(finished)).localCheckpoint()
+      }
+      activeCount -= (if (gridExhausted) activeCount else okIds.length)
+      if (activeCount == 0) {
         done = true
       } else {
+        if (okIds.nonEmpty) {
+          active = active.where(!col("site_id").isin(okIds: _*))
+          cand = cand.where(!col("site_id").isin(okIds: _*))
+        }
         prevRing = ring
         ring *= 2
       }
     }
-    result
+    settled.drop("__pc", "__sc")
   }
 
   /**

@@ -65,15 +65,16 @@ object TextOps {
   def quality(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("quality", expr(qualitySql(textCol)))
 
-  /** Rolling polynomial fingerprint (document fingerprinting): hash of the
-    * token stream, order-sensitive, mod 2^61-1. Built from aggregate() over
-    * the token array — no UDF. */
+  /** Rolling document fingerprint: FNV-1a over the UTF-8 byte stream —
+    * order-sensitive, one multiply+xor per byte in a tight JVM loop
+    * (graft.functions.TileIds.fnv1a, the reference's encoding.HashString,
+    * encoding/strings.go:16-24). The chain is byte-replayable in ANSI SQL
+    * (HUGEINT multiply mod 2^64, xor on the low byte), so the gate compares
+    * it bit-exactly against a DuckDB oracle — the xxhash64 chain it replaces
+    * was not SQL-expressible. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // acc = xxhash64(acc, token): order-sensitive rolling chain, overflow-free
-    // under ANSI mode (unlike polynomial mul-add)
-    df.withColumn("fingerprint",
-      aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t)))
+    val fp = udf((text: String) => graft.functions.TileIds.fnv1a(text))
+    df.withColumn("fingerprint", fp(col(textCol)))
   }
 
   // ---- deduplication ---------------------------------------------------------
@@ -125,15 +126,42 @@ object TextOps {
   }
 
   /**
+   * Within-bucket candidate pairs with a hot-bucket bound: buckets up to
+   * `maxBucketSize` emit the full pairwise set; DEGENERATE buckets (beyond
+   * the cap — e.g. thousands of empty/boilerplate docs hashing identically)
+   * emit a representative STAR instead — every member paired with the
+   * bucket's min id — so the fan-out is n-1, not n². True duplicate clusters
+   * stay connected through the representative (every member verifies against
+   * it), while the quadratic blow-up of one degenerate task is avoided.
+   * `banded` must have (__id, keyCols..., extra non-key columns allowed).
+   */
+  private[graft] def bucketCandidates(banded: DataFrame, keyCols: Seq[String],
+                                      maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(keyCols.map(col): _*)
+    val sized = banded.withColumn("__bn", count(lit(1)).over(wb))
+    val small = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
+    val big = sized.where(col("__bn") > maxBucketSize).drop("__bn")
+    val smallPairs = small.as("a").join(small.as("b"), keyCols)
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val reps = big.groupBy(keyCols.map(col): _*).agg(min(col("__id")).as("__rep"))
+    val starPairs = big.join(reps, keyCols).where(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+    smallPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * MinHash-LSH near-duplicate pairs: band the signature (bands x rowsPerBand =
    * numHashes), bucket-join on (band, bandHash), verify candidates with exact
    * shingle-set Jaccard >= threshold. Shuffle only on band hashes; candidate
-   * verification stays pairwise within buckets. Returns (id_a, id_b, jaccard)
-   * with id_a < id_b.
+   * verification stays pairwise within buckets, with oversized buckets
+   * degraded to representative stars (`bucketCandidates`). Returns
+   * (id_a, id_b, jaccard) with id_a < id_b.
    */
   def dedupMinhashLsh(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, maxBucketSize: Int = 1024): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Shingle sets are computed ONCE and persisted: the banded self-join would
     // otherwise recompute the (expensive) shingling per branch, and carrying
@@ -155,10 +183,7 @@ object TextOps {
     }
     val banded = withSh
       .select(col("__id"), posexplode(bandHashes(col("__sh"))).as(Seq("band_id", "band_hash")))
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band_id", "band_hash"))
-      .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketCandidates(banded, Seq("band_id", "band_hash"), maxBucketSize)
     val verified = candidates
       .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -218,33 +243,40 @@ object TextOps {
       .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact n-gram Jaccard similarity join over candidate pairs (all pairs of
-    * docs sharing at least one shingle; use LSH variant at scale).
+  /** EXACT n-gram Jaccard similarity join: every pair with Jaccard >=
+    * `threshold` over k-shingle sets is returned — no recall hole.
     *
-    * `maxDfFraction` is the stop-shingle cap: shingles occurring in more than
-    * that fraction of documents are dropped from CANDIDATE GENERATION (the
-    * exact verify still uses full shingle sets). Without it one ubiquitous
-    * shingle ("in the") creates a quadratic candidate bucket; with it every
-    * bucket's fan-out is bounded by (maxDf·N)². Pairs whose ONLY shared
-    * shingles are ubiquitous are skipped — by construction such pairs sit far
-    * below any useful Jaccard threshold. */
+    * Candidate generation uses PREFIX FILTERING (the AllPairs/ppjoin bound):
+    * each document's shingles are sorted by a global (document-frequency asc,
+    * hash) order and only the first |S| - ceil(t·|S|) + 1 postings are
+    * indexed. If J(A,B) >= t, the globally-smallest shared shingle provably
+    * sits inside BOTH prefixes (its position in A is at most
+    * |A| - |A∩B| + 1 <= |A| - ceil(t·|A|) + 1), so the prefix-posting
+    * equi-join finds every qualifying pair. Unlike a df-cap, ubiquitous
+    * shingles are never dropped outright — identical boilerplate documents
+    * (all-hot shingle sets) still pair up because hot shingles remain in the
+    * prefix of exactly the documents that own nothing rarer; the df-ascending
+    * order merely minimises how many postings a hot shingle contributes. */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                       k: Int = 3, threshold: Double = 0.5,
-                       maxDfFraction: Double = 0.2): DataFrame = {
+                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // inverted index moves only (shingle-hash, id); shingle sets re-attach by
     // id for the exact verify (same shuffle discipline as dedupMinhashLsh)
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inverted0 = withSh.select(col("__id"), explode(col("__sh")).as("s"))
       .select(col("__id"), xxhash64(col("s")).as("sh"))
-    // absolute floor keeps tiny corpora exact; the fraction bounds the
-    // bucket fan-out ((maxDf*N)^2) at scale
-    val dfCap = math.max(16L, (withSh.count() * maxDfFraction).toLong)
-    // the hot set is tiny (only shingles above the cap) -> broadcast anti-join
-    val hot = inverted0.groupBy("sh").agg(count(lit(1)).as("__df"))
-      .where(col("__df") > dfCap).select("sh")
-    val inverted = inverted0.join(broadcast(hot), Seq("sh"), "left_anti")
-    val candidates = inverted.as("a").join(inverted.as("b"), "sh")
+    // global document frequency per shingle (one partial-agg shuffle) joins
+    // back onto the postings; the per-document window is bounded by the
+    // document's own shingle count, never by corpus hot-keys
+    val dfCounts = inverted0.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("sh"))
+    val prefix = inverted0.join(dfCounts, "sh")
+      .withColumn("__pos", row_number().over(wDoc))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__id")))
+      .where(col("__pos") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+      .select("__id", "sh")
+    val candidates = prefix.as("a").join(prefix.as("b"), "sh")
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")

@@ -13,8 +13,8 @@ class AggsSpec extends SparkSuite {
     val df = (1 to 50).flatMap(v => Seq.fill(v % 3 + 1)(v.toDouble)).toDF("v")
     val got = Aggs.histogramUniform(df, "v").orderBy("bucket")
       .select("bucket", "lo", "hi").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-    assert(got.map(_._1).toSeq == (0 to 5))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L to 5L))
     assert(got.map(_._2).toSeq == Seq(1.0, 9.0, 17.0, 25.0, 33.0, 42.0))
     // element counts preserved
     val total = Aggs.histogramUniform(df, "v").agg(sum("n")).collect()(0).getLong(0)
@@ -25,8 +25,8 @@ class AggsSpec extends SparkSuite {
     val df = Seq(1.0, 1.0, 2.0, 5.0, 5.0, 5.0).toDF("v")
     val got = Aggs.histogramUniform(df, "v").orderBy("bucket")
       .select("bucket", "lo", "n").collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
-    assert(got.toSeq == Seq((0, 1.0, 2L), (1, 2.0, 1L), (2, 5.0, 3L)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1.0, 2L), (1L, 2.0, 1L), (2L, 5.0, 3L)))
   }
 
   test("histogramCategorical: top-5 + other when >6 distinct") {

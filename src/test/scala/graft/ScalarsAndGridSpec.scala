@@ -68,17 +68,23 @@ class ScalarsAndGridSpec extends SparkSuite {
     assert(tiles.contains(armTile) && tiles.contains(armTile2))
   }
 
-  test("ngram-Jaccard stop-shingle cap bounds hot buckets without losing near-dups") {
-    // 40 docs share a ubiquitous shingle; two docs are real near-dups
+  test("ngram-Jaccard prefix filter is exact: sub-threshold hot pairs absent, all-hot duplicates kept") {
+    // 40 docs share a ubiquitous 5-token prefix: every hot pair shares 3 of
+    // 11 union shingles (0.27 < 0.4) and must stay absent. Docs 300/301 are
+    // IDENTICAL boilerplate whose shingles are ALL ubiquitous — the old
+    // df-cap silently missed them (the ADVICE recall hole); prefix
+    // filtering must find (300,301) at J=1 and every (hot,300/301) pair at
+    // J = 3/7 >= 0.4.
     val common = "the quick brown fox jumps"
     val docs = (0 until 40).map(i => (i.toLong, s"$common unique$i tail$i words$i here$i")) ++
       Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
-        (101L, "alpha beta gamma delta epsilon zeta eta iota"))
+        (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (300L, common), (301L, common))
     val df = docs.toDF("doc_id", "text")
     val pairs = graft.operators.TextOps.ngramJaccardJoin(df, "doc_id", "text", k = 3, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((100L, 101L)), pairs.toString)
-    // the ubiquitous-shingle-only pairs are below threshold and absent
-    assert(pairs.forall { case (a, b) => a == 100L && b == 101L }, pairs.toString)
+    val expected = (for (i <- 0 until 40; r <- Seq(300L, 301L)) yield (i.toLong, r)).toSet +
+      ((300L, 301L)) + ((100L, 101L))
+    assert(pairs == expected, s"got ${pairs.size} pairs, expected ${expected.size}")
   }
 }

@@ -162,8 +162,12 @@ object Graph {
    */
   def reachable(edges: DataFrame, origins: DataFrame, budgetMeters: Double,
                 originCol: String = "origin",
-                maxBroadcastEdges: Long = DefaultMaxBroadcastEdges): DataFrame = {
-    if (edges.count() > maxBroadcastEdges)
+                maxBroadcastEdges: Long = DefaultMaxBroadcastEdges,
+                edgeCountHint: Option[Long] = None): DataFrame = {
+    // the broadcast-vs-iterative decision needs |edges|; callers that already
+    // know it (an index catalog, a prepared Network, a loop reusing one edge
+    // table) pass the hint and skip the count action entirely
+    if (edgeCountHint.getOrElse(edges.count()) > maxBroadcastEdges)
       return reachableIterative(edges, origins, budgetMeters, originCol)
     reachable(network(edges), origins, budgetMeters, originCol)
   }

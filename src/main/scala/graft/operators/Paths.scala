@@ -109,10 +109,25 @@ object Paths {
     }.toDF("poly_id", "geom")
   }
 
-  /** collect-areas: union-all polygons into one multi-geometry (no dissolve). */
+  /** collect-areas: union-all polygons into one multi-geometry (no dissolve,
+    * areas.go / api/functions/geometry.go collect-areas semantics: ONE merged
+    * geometry comes out, so a driver-side merge is inherent — but only
+    * per-partition PARTIALS reach the driver (one WKB collection per
+    * partition, not one row per area), the same tree shape as the geo_hull
+    * query; at 100x the polygon count the driver holds O(partitions)
+    * geometries, not O(areas)). */
   def collectAreas(df: DataFrame, geomCol: String = "geom"): Array[Byte] = {
-    val wkbs = df.select(col(geomCol)).collect().map(_.getAs[Array[Byte]](0))
-    val gc = GeoOps.factory.createGeometryCollection(wkbs.map(GeoOps.fromWkb))
-    GeoOps.toWkb(gc)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df.select(col(geomCol)).as[Array[Byte]].mapPartitions { it =>
+      val gs = it.map(GeoOps.fromWkb).toArray
+      if (gs.isEmpty) Iterator.empty
+      else Iterator(GeoOps.toWkb(GeoOps.factory.createGeometryCollection(gs)))
+    }.collect()
+    val flat = partials.flatMap { w =>
+      val g = GeoOps.fromWkb(w)
+      (0 until g.getNumGeometries).map(g.getGeometryN)
+    }
+    GeoOps.toWkb(GeoOps.factory.createGeometryCollection(flat))
   }
 }

@@ -59,6 +59,35 @@ class AggsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("percentiles keeps null-value rows (null-safe join), percentile 0 like nulls-first ranking") {
+    val df = Seq[(Long, Option[Double])]((1L, Some(3.0)), (2L, None), (3L, Some(1.0)),
+      (4L, None), (5L, Some(3.0))).toDF("id", "v")
+    val got = Aggs.percentiles(df, "v").select("id", "percentile").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 5, s"null rows dropped: $got")
+    // nulls rank first (0/5), then 1.0 at 2/5, then 3.0 at 3/5
+    assert(got(2L) == 0.0 && got(4L) == 0.0)
+    assert(got(3L) == 0.4 && got(1L) == 0.6 && got(5L) == 0.6)
+  }
+
+  test("ranking plans have no single-task sort: 100k distinct values, no SinglePartition exchange") {
+    val df = spark.range(100000).selectExpr("CAST(id AS DOUBLE) AS v",
+      "id % 7 AS junk").toDF()
+    val hist = Aggs.histogramUniform(df, "v").orderBy("bucket")
+    val rows = hist.collect() // execute FIRST so the final adaptive plan is inspected
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window funnel found in plan:\n${plan.take(2000)}")
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Number]("n").longValue()).sum == 100000L)
+    // greedy closed form: e1 = 100000/6 = 16666 -> first bucket [0, 16666)
+    assert(rows(0).getAs[Double]("lo") == 0.0 && rows(0).getAs[Double]("hi") == 16665.0)
+    assert(rows(1).getAs[Double]("lo") == 16666.0)
+    val pct = Aggs.percentiles(df, "v")
+    assert(pct.count() == 100000L)
+    assert(!pct.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("histogram-with-id: collection-feature change carries bucket label tags; items stay distributed") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
     val (change, items) = Aggs.histogramChange(df, "v", "k", "graft/ui", 42L, swatch = true)

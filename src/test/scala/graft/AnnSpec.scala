@@ -59,6 +59,53 @@ class AnnSpec extends SparkSuite {
     assert(verified.forall(_ >= 0.99))
   }
 
+  test("ann_neardup gate is derandomized: brute >= 0.99 set IS the clone set and LSH finds it all") {
+    // replicates the GATE's exact data: full sf0.01 embeddings + x1.0001f
+    // clones of vec_id < 10. SRP-LSH recall is < 1 in general; the gate's
+    // equality with full brute force holds because on THIS fixture the only
+    // pairs >= 0.99 are the clones (angle at float-rounding scale, so the
+    // deterministic splitmix64 planes cannot separate them). This spec
+    // pins that property — if the fixture ever grows a borderline
+    // non-clone pair, this fails before the gate does.
+    val dupes = data.where(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"), col("label"))
+    val all = data.unionByName(dupes)
+    val vecs = all.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.99
+    } yield (math.min(vecs(i)._1, vecs(j)._1), math.max(vecs(i)._1, vecs(j)._1))).toSet
+    val cloneSet = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(brute == cloneSet, s"fixture grew non-clone >=0.99 pairs: ${brute -- cloneSet}")
+    val lsh = Ann.cosineNearDupPairs(all, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == cloneSet)
+  }
+
+  test("cosineNearDupPairs bounds degenerate buckets with representative stars") {
+    // 600 identical vectors (bucket size far beyond the 64 cap used here)
+    // must produce n-1 star pairs, not n^2/2 — and all still verify at ~1.0
+    val n = 600
+    val ident = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 16).map(i => lit((i + 1).toFloat)): _*).as("embedding"))
+    val pairs = Ann.cosineNearDupPairs(ident, 0.99, maxBucketSize = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (1L until n.toLong).map(i => (0L, i)).toSet,
+      s"expected ${n - 1} star pairs, got ${pairs.size}")
+  }
+
   test("cosineLsh achieves reasonable recall vs brute force") {
     val exact = bruteForce(5).map { case (q, _, n) => (q, n) }
     val got = Ann.cosineLsh(data, queries, 5, bits = 5, tables = 16)

@@ -51,6 +51,38 @@ class SpatialJoinsSpec extends SparkSuite {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("knnJoin ring loop scans the probe side once per ring (localCheckpoint, no recompute)") {
+    import spark.implicits._
+    // sparse far-apart points force >= 3 ring doublings before the k-th
+    // neighbor guarantee holds; an accumulator counts probe-row evaluations
+    val acc = spark.sparkContext.longAccumulator("probe-scans")
+    val sparse = (0 until 400).map { i =>
+      (i.toLong, 51.0 + (i % 20) * 0.04, -1.0 + (i / 20) * 0.04)
+    }
+    val counted = udf { (pid: Long) => acc.add(1); true }
+    val points = sparse.toDF("point_id", "lat", "lng")
+      .withColumn("cell16", graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .where(counted(col("point_id")))
+    val sites = Seq((1L, 51.4, -0.6), (2L, 51.02, -0.98)).toDF("site_id", "site_lat", "site_lng")
+    // level 14: ~1.2 km cells vs ~4.4 km point spacing -> the k=3 guarantee
+    // needs ring >= ~8, i.e. >= 4 doublings
+    val got = SpatialJoins.knnJoin(points, sites, 3, level = 14)
+      .select("site_id", "rank", "point_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = Seq((1L, 51.4, -0.6), (2L, 51.02, -0.98)).flatMap { case (sid, slat, slng) =>
+      sparse.map { case (pid, lat, lng) =>
+        (pid, GeoOps.haversineMeters(lat, lng, slat, slng))
+      }.sortBy { case (pid, d) => (d, pid) }.take(3).zipWithIndex
+        .map { case ((pid, _), i) => (sid, i + 1, pid) }
+    }.toSet
+    assert(got == expected)
+    // each ring evaluates every probe row once for its annulus join; rings
+    // double 1,2,4,... <= 1024 -> at most 11 scans. WITHOUT the checkpoint the
+    // r-th ring re-ran rings 1..r-1 too (quadratic: 60+ scans of 400 rows).
+    val scans = acc.value / 400
+    assert(scans <= 14, s"probe side scanned $scans times — ring lineage is re-executing")
+  }
+
   test("withinCap matches brute force") {
     val got = SpatialJoins.withinCap(Fixtures.points(spark, sf001), 51.5353, -0.1258, 1500.0)
       .select("point_id").collect().map(_.getLong(0)).toSet

@@ -31,6 +31,27 @@ class TextOpsSpec extends SparkSuite {
       "unrelated docs must not pair")
   }
 
+  test("minhash LSH degenerate bucket (identical docs + boilerplate cluster) stays star-bounded") {
+    // 800 byte-identical docs all but guarantee one band bucket of 800 —
+    // pairwise would be ~320k candidates in ONE task; the star bound emits
+    // n-1 pairs through the min-id representative, all verifying at J=1.
+    // A small honest near-dup pair in a normal-size bucket is unaffected.
+    val boiler = (0 until 800).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    val real = Seq(
+      (9000L, "completely original text about spark catalyst expression codegen"),
+      (9001L, "completely original text about spark catalyst expression codegen too"))
+    val df = (boiler ++ real).toDF("doc_id", "text")
+    val pairs = TextOps.dedupMinhashLsh(df, "doc_id", "text", k = 3, threshold = 0.5,
+      maxBucketSize = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val star = (1L until 800L).map(i => (0L, i)).toSet
+    assert(star.subsetOf(pairs), s"star pairs missing: got ${pairs.size}")
+    assert(pairs.contains((9000L, 9001L)), "normal near-dup must still be found pairwise")
+    // bounded: nothing beyond star + the honest pair (no quadratic blow-up)
+    assert(pairs == star + ((9000L, 9001L)), s"unexpected extras: ${(pairs -- star - ((9000L, 9001L))).take(5)}")
+  }
+
   test("minhash jaccard estimate equals exact shingle jaccard on verification") {
     val pairs = TextOps.dedupMinhashLsh(docs, "doc_id", "text", k = 3, threshold = 0.0)
       .where(col("id_a") === 1L && col("id_b") === 6L).collect()

@@ -62,10 +62,19 @@ object Bench {
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_SCALING_ONLY").contains("1")
     val results = if (scalingOnly) Seq.empty else {
       val spark0 = session(cpus)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val sec = try time(materialize(fn(spark0, sfDir))) catch { case _: Throwable => -1.0 }
-        name -> sec
-      }
+      // per-query MINIMUM over reps: the VM's noisy-CPU windows last tens of
+      // seconds, so a single pass can tax whichever queries it happens to
+      // overlap (r2's driver run charged mm_decode 26.5 s vs 2.6 s clean);
+      // two interleaved passes give every query a second window
+      val queryReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "2").toInt
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      val r = (1 to queryReps).flatMap { _ =>
+        ordered.map { case (name, fn) =>
+          val sec = try time(materialize(fn(spark0, sfDir))) catch { case _: Throwable => -1.0 }
+          name -> sec
+        }
+      }.groupBy(_._1).view.mapValues(ts => ts.map(_._2).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)).toSeq.sortBy(_._1)
       spark0.stop()
       r
     }

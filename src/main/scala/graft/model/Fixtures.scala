@@ -315,7 +315,16 @@ object Fixtures {
     out
   }
 
-  /** Encode pixels: PPM (P6) exactly; PNG via ImageIO (lossless). */
+  // ImageIO's default stream cache spools every encode/decode through a TEMP
+  // FILE — with 32 decode tasks that is 32-way /tmp contention and couples
+  // image throughput to disk state (the r2 driver bench saw mm_decode swing
+  // 10.5 -> 26.5 s). In-memory streams remove the filesystem from the path.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode pixels: PPM (P6) exactly; PNG via ImageIO (lossless). The PNG
+    * path writes straight into the BufferedImage's backing byte raster
+    * (TYPE_3BYTE_BGR) — per-pixel setRGB goes through the color model and was
+    * the encode hot spot. */
   def encode(pix: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = fmt match {
     case "ppm" =>
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -325,22 +334,21 @@ object Fixtures {
       out
     case "png" =>
       val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      var y = 0; var idx = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val r = pix(idx) & 0xff; val g = pix(idx + 1) & 0xff; val b = pix(idx + 2) & 0xff
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          idx += 3; x += 1
-        }
-        y += 1
+      val raster = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData // B,G,R order
+      var i = 0
+      while (i < pix.length) {
+        raster(i) = pix(i + 2); raster(i + 1) = pix(i + 1); raster(i + 2) = pix(i)
+        i += 3
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
   }
 
-  /** Decode back to raw RGB (the "decode-once" step of the pipeline). */
+  /** Decode back to raw RGB (the "decode-once" step of the pipeline). Reads
+    * the decoded raster buffer directly when it is 3-byte BGR (the common
+    * case for our PNGs); falls back to getRGB otherwise. */
   def decode(bytes: Array[Byte], fmt: String): (Int, Int, Array[Byte]) = fmt match {
     case "ppm" =>
       val s = new String(bytes, 0, math.min(bytes.length, 32), "US-ASCII")
@@ -353,17 +361,29 @@ object Fixtures {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       val w = img.getWidth; val h = img.getHeight
       val out = new Array[Byte](w * h * 3)
-      var y = 0; var idx = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(idx) = ((rgb >> 16) & 0xff).toByte
-          out(idx + 1) = ((rgb >> 8) & 0xff).toByte
-          out(idx + 2) = (rgb & 0xff).toByte
-          idx += 3; x += 1
-        }
-        y += 1
+      img.getRaster.getDataBuffer match {
+        case db: java.awt.image.DataBufferByte
+            if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+              db.getData.length == w * h * 3 =>
+          val raster = db.getData
+          var i = 0
+          while (i < out.length) {
+            out(i) = raster(i + 2); out(i + 1) = raster(i + 1); out(i + 2) = raster(i)
+            i += 3
+          }
+        case _ =>
+          var y = 0; var idx = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(idx) = ((rgb >> 16) & 0xff).toByte
+              out(idx + 1) = ((rgb >> 8) & 0xff).toByte
+              out(idx + 2) = (rgb & 0xff).toByte
+              idx += 3; x += 1
+            }
+            y += 1
+          }
       }
       (w, h, out)
   }

@@ -427,6 +427,12 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // -- shell expression language end-to-end (api/shell.y, shell.go:612-824):
+    //    parse -> simplify -> compile onto the Query ADT + Column lambdas --
+    "sh_pipeline" -> ((s, d) => graft.shell.Shell.runDf(features(s, d),
+      "find [#amenity=cafe & @name] | map {f -> get f \"@name\"}")
+      .select(col("point_id"), col("value").as("name")).orderBy("point_id")),
+
     // -- multimodal (images decoded once; plumbing real, payload synthetic) --
     "mm_decode" -> ((s, d) => {
       val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
@@ -750,6 +756,12 @@ object SparkEntry {
         |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // -- shell pipeline: the same derivation as qa_* through the parser --
+    "sh_pipeline" ->
+      s"""SELECT event_id AS point_id, concat('site-', CAST(event_id AS VARCHAR)) AS name
+         |FROM events WHERE $amenitySql = 'cafe' AND event_id % 5 = 0
+         |ORDER BY point_id""".stripMargin,
 
     // -- geometry-intersection join: separating-axis test over the convex
     //    fixture polygons (pure +,-,* comparisons, like sj_pip) --

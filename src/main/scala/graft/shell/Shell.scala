@@ -1,0 +1,532 @@
+package graft.shell
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.query._
+
+/**
+ * The b6 shell expression language — pipelines, query literals, lambdas,
+ * collections, tag/lat-lng/feature-id literals — re-created from the
+ * reference grammar (api/shell.y:30-209), lexer (api/shell.go:220-377) and
+ * simplifier (api/shell.go:612-824, 866-900), compiled onto this engine's
+ * Query ADT and DataFrame operators instead of the reference's bytecode VM
+ * (api/vm.go): lambdas over features become Catalyst `Column`s, pipelines
+ * become plan construction, so `find [#building] | filter {b -> ...} | count`
+ * is ONE declarative Spark plan, not an interpreted loop.
+ */
+object Shell {
+
+  // ---- AST (≙ b6.Expression variants, b6/expression.go) ----------------------
+
+  sealed trait Expr
+  case class SymbolE(name: String) extends Expr
+  case class StringE(v: String) extends Expr
+  case class IntE(v: Long) extends Expr
+  case class FloatE(v: Double) extends Expr
+  case class LatLngE(lat: Double, lng: Double) extends Expr
+  case class TagE(key: String, value: String) extends Expr
+  case class FeatureIdE(ftype: String, ns: String, value: Long) extends Expr
+  case class QueryE(q: Query) extends Expr
+  case class CallE(fn: Expr, args: List[Expr], pipelined: Boolean = false) extends Expr
+  case class LambdaE(args: List[String], body: Expr) extends Expr
+
+  case class ShellException(msg: String) extends RuntimeException(msg)
+
+  // ---- lexer (api/shell.go:220-377) ------------------------------------------
+
+  private sealed trait Tok
+  private case class Punct(c: Char) extends Tok
+  private case object Arrow extends Tok
+  private case class Sym(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class TagKey(s: String) extends Tok
+  private case class Fid(ftype: String, ns: String, value: Long) extends Tok
+  private case class IntT(v: Long) extends Tok
+  private case class FloatT(v: Double) extends Tok
+  private case object EofT extends Tok
+
+  /** Namespace aliases /n/ /w/ /a/ /r/ (api/shell.go:60-110). */
+  private val aliases: Seq[(String, String, String)] = Seq(
+    ("/n/", "point", "openstreetmap.org/node"),
+    ("/w/", "path", "openstreetmap.org/way"),
+    ("/a/", "area", "openstreetmap.org/way"),
+    ("/r/", "relation", "openstreetmap.org/relation"))
+
+  private def isSymbolRune(c: Char): Boolean =
+    c.isLetter || c.isDigit || c == '-' || c == ':' || c == '_'
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else c match {
+        case ',' | '(' | ')' | '|' | '>' | '{' | '}' | '[' | ']' | '=' | '&' | ':' =>
+          out += Punct(c); i += 1
+        case '"' =>
+          val end = s.indexOf('"', i + 1)
+          if (end < 0) throw ShellException("unterminated string constant")
+          out += Str(s.substring(i + 1, end)); i = end + 1
+        case '/' =>
+          var j = i
+          while (j < s.length && (s(j).isLetterOrDigit || "./-/_".contains(s(j)) || s(j) == '/')) j += 1
+          val tok = s.substring(i, j)
+          val fid = aliases.find(a => tok.startsWith(a._1)).map { case (p, t, ns) =>
+            Fid(t, ns, tok.substring(p.length).toLong)
+          }.getOrElse {
+            // long form: /type/namespace.../value (api/shell.go:158-170)
+            val parts = tok.stripPrefix("/").split('/')
+            if (parts.length < 3) throw ShellException(
+              s"expected, for example, /point/openstreetmap.org/node/3501612811: $tok")
+            Fid(parts.head, parts.slice(1, parts.length - 1).mkString("/"), parts.last.toLong)
+          }
+          out += fid; i = j
+        case '#' | '@' =>
+          var j = i + 1
+          while (j < s.length && isSymbolRune(s(j))) j += 1
+          out += TagKey(s.substring(i, j)); i = j
+        case _ if c.isDigit || c == '-' || c == '.' =>
+          if (c == '-' && i + 1 < s.length && s(i + 1) == '>') { out += Arrow; i += 2 }
+          else {
+            var j = i + (if (c == '-') 1 else 0)
+            var decimal = false
+            while (j < s.length && (s(j).isDigit || (s(j) == '.' && !decimal && { decimal = true; true }))) j += 1
+            val tok = s.substring(i, j)
+            out += (if (decimal) FloatT(tok.toDouble) else IntT(tok.toLong))
+            i = j
+          }
+        case _ if c.isLetter =>
+          var j = i
+          while (j < s.length && isSymbolRune(s(j))) j += 1
+          out += Sym(s.substring(i, j)); i = j
+        case other => throw ShellException(s"bad token ${s.substring(i)}")
+      }
+    }
+    (out += EofT).result()
+  }
+
+  // ---- parser (recursive descent over shell.y's productions) ------------------
+
+  private class P(toks: Vector[Tok]) {
+    var i = 0
+    def peek: Tok = toks(i)
+    def peekAt(k: Int): Tok = if (i + k < toks.length) toks(i + k) else EofT
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def expect(c: Char): Unit = next() match {
+      case Punct(`c`) => ()
+      case t => throw ShellException(s"expected '$c', got $t")
+    }
+
+    // pipeline: pipeline '|' call | call   (shell.y:36-41)
+    def parsePipeline(): Expr = {
+      var e = parseCall()
+      while (peek == Punct('|')) {
+        next()
+        val rhs = parseCall()
+        // Pipeline = call rhs with lhs prepended (api/shell.go:456-466)
+        e = rhs match {
+          case CallE(f, args, _) => CallE(f, e :: args, pipelined = true)
+          case other => CallE(other, List(e), pipelined = true)
+        }
+      }
+      e
+    }
+
+    // call: SYMBOL | SYMBOL args | expression   (shell.y:71-80)
+    def parseCall(): Expr = peek match {
+      case Sym(_) if peekAt(1) == Punct('=') => parseExpression() // name="..." tag
+      case Sym(s) =>
+        next()
+        val args = List.newBuilder[Expr]
+        while (startsArg(peek)) args += parseArg()
+        CallE(SymbolE(s), args.result())
+      case _ => parseExpression()
+    }
+
+    private def startsArg(t: Tok): Boolean = t match {
+      case Sym(_) | Str(_) | TagKey(_) | Fid(_, _, _) | IntT(_) | FloatT(_) => true
+      case Punct('{') | Punct('(') | Punct('[') => true
+      case _ => false
+    }
+
+    // arg: SYMBOL | expression   (shell.y:92-94)
+    def parseArg(): Expr = peek match {
+      case Sym(_) if peekAt(1) == Punct('=') => parseExpression()
+      case Sym(s) => next(); SymbolE(s)
+      case _ => parseExpression()
+    }
+
+    // expression: latlng|tag|lambda|collection|group|query|STRING|FLOAT|INT|FEATURE_ID
+    def parseExpression(): Expr = peek match {
+      case FloatT(v) =>
+        next()
+        if (peek == Punct(',') && peekAt(1).isInstanceOf[FloatT]) {
+          next(); val FloatT(lng) = next(): @unchecked
+          LatLngE(v, lng)
+        } else FloatE(v)
+      case IntT(v) => next(); IntE(v)
+      case Str(v) => next(); StringE(v)
+      case Fid(t, ns, v) => next(); FeatureIdE(t, ns, v)
+      case TagKey(k) =>
+        next(); expect('='); TagE(k, tagValue())
+      case Sym(k) if peekAt(1) == Punct('=') =>
+        next(); expect('='); TagE(k, tagValue())
+      case Punct('(') => next(); val e = parsePipeline(); expect(')'); e
+      case Punct('[') => next(); val q = parseQueryExpression(); expect(']'); QueryE(q)
+      case Punct('{') => parseBraced()
+      case t => throw ShellException(s"unexpected $t")
+    }
+
+    private def tagValue(): String = next() match {
+      case Sym(s) => s
+      case Str(s) => s
+      case t => throw ShellException(s"expected tag value, got $t")
+    }
+
+    // '{' ... '}' is a lambda iff (optional symbol list then) ARROW follows
+    // (shell.y:96-114 vs 116-155)
+    private def parseBraced(): Expr = {
+      expect('{')
+      // lookahead for lambda: SYMBOL (',' SYMBOL)* ARROW  or just ARROW
+      var k = 0
+      var isLambda = false
+      if (peekAt(k) == Arrow) isLambda = true
+      else {
+        var ok = peekAt(k).isInstanceOf[Sym]
+        while (ok && peekAt(k).isInstanceOf[Sym] && peekAt(k + 1) == Punct(',')) k += 2
+        if (ok && peekAt(k).isInstanceOf[Sym] && peekAt(k + 1) == Arrow) isLambda = true
+      }
+      if (isLambda) {
+        val params = List.newBuilder[String]
+        while (peek != Arrow) next() match {
+          case Sym(s) => params += s
+          case Punct(',') => ()
+          case t => throw ShellException(s"bad lambda arg $t")
+        }
+        next() // ARROW
+        val body = parsePipeline()
+        expect('}')
+        LambdaE(params.result(), body)
+      } else {
+        // collection literal -> collection(pair(k, v), ...) with implicit
+        // integer keys (api/shell.go:516-566)
+        val items = List.newBuilder[Expr]
+        var idx = 0
+        var done = false
+        while (!done) {
+          val first = parseCollectionMember()
+          val kv = if (peek == Punct(':')) {
+            next(); val v = parseCollectionMember()
+            CallE(SymbolE("pair"), List(first, v))
+          } else {
+            val k = IntE(idx)
+            CallE(SymbolE("pair"), List(k, first))
+          }
+          idx += 1
+          items += kv
+          if (peek == Punct(',')) next() else done = true
+        }
+        expect('}')
+        CallE(SymbolE("collection"), items.result())
+      }
+    }
+
+    private def parseCollectionMember(): Expr = parseExpression()
+
+    // query_expression with right-recursive & / | (shell.y:169-205); nested
+    // And/Or flatten in simplifyQuery like the reference
+    def parseQueryExpression(): Query = {
+      val left: Query = peek match {
+        case Punct('[') => next(); val q = parseQueryExpression(); expect(']'); q
+        case _ => parseQueryTag()
+      }
+      peek match {
+        case Punct('&') => next(); And(Seq(left, parseQueryExpression()))
+        case Punct('|') => next(); Or(Seq(left, parseQueryExpression()))
+        case _ => left
+      }
+    }
+
+    private def parseQueryTag(): Query = next() match {
+      case TagKey(k) =>
+        if (peek == Punct('=')) { next(); Tagged(k, tagValue()) } else Keyed(k)
+      case Sym(k) =>
+        if (peek == Punct('=')) { next(); Tagged(k, tagValue()) } else Keyed(k)
+      case t => throw ShellException(s"bad query token $t")
+    }
+  }
+
+  def parse(expression: String): Expr = {
+    val p = new P(lex(expression))
+    val e = p.parsePipeline()
+    if (p.peek != EofT) throw ShellException(s"trailing input at ${p.peek}")
+    e
+  }
+
+  // ---- simplify (api/shell.go:612-824) ----------------------------------------
+
+  /** Arg counts for the no-arg-call collapse (FunctionSymbols.ArgCount). */
+  private val argCounts: Map[String, Int] = Map(
+    "find" -> 1, "filter" -> 2, "map" -> 2, "highlight" -> 1, "count" -> 1,
+    "take" -> 2, "top" -> 2, "find-feature" -> 1, "find-area" -> 1,
+    "find-relation" -> 1, "all-areas" -> 0, "find-areas" -> 1,
+    "find-relations" -> 1, "intersecting" -> 1, "intersecting-cap" -> 2,
+    "tag" -> 2, "value" -> 1, "get" -> 2, "get-string" -> 2, "add-tag" -> 2,
+    "keyed" -> 1, "tagged" -> 2, "and" -> 2, "or" -> 2, "typed" -> 2,
+    "count-values" -> 1, "building-access" -> 1, "with-change" -> 2,
+    "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
+    "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
+
+  /** A partially-applied builtin — the b6 VM's partial-application semantics
+    * (api/vm.go:244-280): later args (typically the pipelined feature) fill
+    * the REMAINING positions. `map (tag "name") c` compiles per feature to
+    * the name-tag accessor Column. */
+  case class Partial(name: String, args: List[Any])
+
+  def simplify(e: Expr): Expr = e match {
+    case CallE(fn, args, p) =>
+      val call = CallE(simplify(fn), args.map(simplify), p)
+      simplifyNoArgCall(call)
+        .orElse(simplifyQueryBuildingCall(call))
+        .getOrElse(call)
+    case LambdaE(params, body) => simplifyLambda(LambdaE(params, simplify(body)))
+    case QueryE(q) => QueryE(flattenQuery(q))
+    case other => other
+  }
+
+  /** Calling an n>0-ary function with no args == the function itself
+    * (api/shell.go:707-725). */
+  private def simplifyNoArgCall(call: CallE): Option[Expr] = call match {
+    case CallE(s @ SymbolE(name), Nil, _) if argCounts.get(name).exists(_ > 0) => Some(s)
+    case CallE(LambdaE(Nil, body), Nil, _) => Some(body)
+    case _ => None
+  }
+
+  /** and/or/typed/keyed/tagged calls over literals fold into query literals
+    * (api/shell.go:727-822). */
+  private def simplifyQueryBuildingCall(call: CallE): Option[Expr] = call match {
+    case CallE(SymbolE("and"), List(QueryE(a), QueryE(b)), _) =>
+      Some(QueryE(flattenQuery(And(Seq(a, b)))))
+    case CallE(SymbolE("or"), List(QueryE(a), QueryE(b)), _) =>
+      Some(QueryE(flattenQuery(Or(Seq(a, b)))))
+    case CallE(SymbolE("keyed"), List(StringE(k)), _) => Some(QueryE(Keyed(k)))
+    case CallE(SymbolE("tagged"), List(StringE(k), StringE(v)), _) =>
+      Some(QueryE(Tagged(k, v)))
+    case CallE(SymbolE("typed"), List(StringE(t), QueryE(q)), _) =>
+      Some(QueryE(TypedQ(t, q)))
+    case _ => None
+  }
+
+  /** `{a -> area a}` == `area` (eta reduction, api/shell.go:824-852). */
+  private def simplifyLambda(l: LambdaE): Expr = l.body match {
+    case CallE(fn, args, p) if l.args.nonEmpty =>
+      val n = l.args.zip(args).takeWhile {
+        case (param, SymbolE(s)) => s == param
+        case _ => false
+      }.length
+      if (n > 0 && n == args.length) fn
+      else if (n > 0) CallE(fn, args.drop(n), p)
+      else l
+    case _ => l
+  }
+
+  /** Nested And/Or flatten (api/shell.go:866-900). */
+  def flattenQuery(q: Query): Query = q match {
+    case And(qs) =>
+      And(qs.map(flattenQuery).flatMap { case And(inner) => inner; case o => Seq(o) })
+    case Or(qs) =>
+      Or(qs.map(flattenQuery).flatMap { case Or(inner) => inner; case o => Seq(o) })
+    case TypedQ(t, inner) => TypedQ(t, flattenQuery(inner))
+    case other => other
+  }
+
+  // ---- unparse (api/shell.go:925-1058) ----------------------------------------
+
+  def unparse(e: Expr, top: Boolean = true): String = e match {
+    case SymbolE(s) => s
+    case StringE(s) => "\"" + s + "\""
+    case IntE(v) => v.toString
+    case FloatE(v) => f"$v%.2f"
+    case LatLngE(a, b) => f"$a%f, $b%f"
+    case TagE(k, v) =>
+      val vv = if (v.nonEmpty && v.forall(isSymbolRune)) v else "\"" + v + "\""
+      s"$k=$vv"
+    case FeatureIdE(t, ns, v) =>
+      aliases.find(a => a._2 == t && a._3 == ns).map(a => s"${a._1}$v")
+        .getOrElse(s"/$t/$ns/$v")
+    case QueryE(q) => "[" + unparseQuery(q) + "]"
+    case CallE(fn, args, true) if args.nonEmpty =>
+      val s = unparse(args.head, top = true) + " | " +
+        unparse(CallE(fn, args.tail), top = true)
+      if (top) s else s"($s)"
+    case CallE(fn, args, _) =>
+      val s = (unparse(fn, top = false) +: args.map(unparse(_, top = false))).mkString(" ")
+      if (top) s else s"($s)"
+    case LambdaE(Nil, body) => s"{-> ${unparse(body)}}"
+    case LambdaE(params, body) => s"{${params.mkString(", ")} -> ${unparse(body)}}"
+  }
+
+  def unparseQuery(q: Query): String = q match {
+    case Tagged(k, v) =>
+      val vv = if (v.nonEmpty && v.forall(isSymbolRune)) v else "\"" + v + "\""
+      s"$k=$vv"
+    case Keyed(k) => k
+    case And(qs) => qs.map(unparseQuery).mkString(" & ")
+    case Or(qs) => qs.map(unparseQuery).mkString(" | ")
+    case TypedQ(t, inner) => s"$t:${unparseQuery(inner)}" // no shell form; debug only
+    case other => other.toString
+  }
+
+  // ---- evaluation: shell values over a features DataFrame ---------------------
+
+  /**
+   * Evaluate over a world (features DataFrame with id/tags/lat/lng/cell16…).
+   * Results: DataFrame (feature/collection results), Query, Long/Double/String
+   * literals, TagE, Seq[(Any, Any)] for collection literals. Lambdas over
+   * features compile to Catalyst `Column`s — `filter {b -> gt (area b) 100}`
+   * runs inside the scan, never per-row on the driver.
+   */
+  def run(world: DataFrame, expression: String): Any =
+    eval(world, simplify(parse(expression)))
+
+  def runDf(world: DataFrame, expression: String): DataFrame =
+    run(world, expression).asInstanceOf[DataFrame]
+
+  private def eval(world: DataFrame, e: Expr): Any = e match {
+    case IntE(v) => v
+    case FloatE(v) => v
+    case StringE(v) => v
+    case t: TagE => t
+    case q: QueryE => q.q
+    case ll: LatLngE => ll
+    case fid: FeatureIdE => fid
+    case l: LambdaE => l
+    case s: SymbolE => s // bare function reference
+    case CallE(fn, args, _) => apply(world, fn, args.map(a => eval(world, a)))
+  }
+
+  private def asQuery(v: Any): Query = v match {
+    case q: Query => q
+    case TagE(k, vv) => Tagged(k, vv)
+    case s: String => // "highway=primary" string-form query (find "…")
+      s.split("=", 2) match {
+        case Array(k, vv) => Tagged(k, vv)
+        case Array(k) => Keyed(k)
+      }
+    case other => throw ShellException(s"not a query: $other")
+  }
+
+  private def asDf(v: Any): DataFrame = v match {
+    case df: DataFrame => df
+    case other => throw ShellException(s"not a collection: $other")
+  }
+
+  private def apply(world: DataFrame, fn: Expr, args: List[Any]): Any = fn match {
+    case LambdaE(params, body) =>
+      // applying a feature lambda to a DataFrame = compiling it to a Column
+      throw ShellException("lambda application outside map/filter not supported")
+    case SymbolE(name) => (name, args) match {
+      case ("find", List(q)) => QueryPlanner.find(world, flattenQuery(asQuery(q)))
+      case ("find-feature", List(FeatureIdE(t, ns, v))) =>
+        world.where(col("id.ftype") === t && col("id.ns") === ns && col("id.value") === v)
+      case ("find-area", List(FeatureIdE(_, ns, v))) =>
+        world.where(col("id.ftype") === "area" && col("id.ns") === ns && col("id.value") === v)
+      case ("find-relation", List(FeatureIdE(_, ns, v))) =>
+        world.where(col("id.ftype") === "relation" && col("id.ns") === ns && col("id.value") === v)
+      case ("all-areas", Nil) => QueryPlanner.find(world, TypedQ("area", All))
+      case ("find-areas", List(q)) => QueryPlanner.find(world, TypedQ("area", asQuery(q)))
+      case ("find-relations", List(q)) => QueryPlanner.find(world, TypedQ("relation", asQuery(q)))
+      case ("intersecting", List(LatLngE(lat, lng))) => IntersectsCap(lat, lng, 0.5)
+      case ("intersecting-cap", List(LatLngE(lat, lng), r)) =>
+        IntersectsCap(lat, lng, num(r))
+      case ("keyed", List(k: String)) => Keyed(k)
+      case ("tagged", List(k: String, v: String)) => Tagged(k, v)
+      case ("and", List(a, b)) => flattenQuery(And(Seq(asQuery(a), asQuery(b))))
+      case ("or", List(a, b)) => flattenQuery(Or(Seq(asQuery(a), asQuery(b))))
+      case ("typed", List(t: String, q)) => TypedQ(t, asQuery(q))
+      case ("filter", List(c, f)) => asDf(c).where(featureColumn(f))
+      case ("filter", List(c)) => asDf(c) // curried: filter alone is identity-ish
+      case ("map", List(c, f)) => asDf(c).withColumn("value", featureColumn(f))
+      case ("count", List(c)) => asDf(c).count()
+      case ("take", List(c, n)) => asDf(c).limit(num(n).toInt)
+      case ("highlight", List(c)) => c // UI marker: identity over the collection
+      case ("tag", List(k: String, v: String)) => TagE(k, v)
+      case ("value", List(TagE(_, v))) => v
+      case ("add-tag", List(c, TagE(k, v))) =>
+        graft.operators.Worlds.addTag(asDf(c), k, lit(v))
+      case ("collection", pairs) => pairs.map {
+        case (k, v) => (k, v)
+        case p => p
+      }
+      case ("pair", List(k, v)) => (k, v)
+      case ("add", List(a: Long, b: Long)) => a + b // b6 int+int=int (math.go:16)
+      case ("add", List(a, b)) => num(a) + num(b)
+      case ("divide", List(a: Long, b: Long)) => a / b // truncating, like the reference
+      case ("divide", List(a, b)) => num(a) / num(b)
+      case ("to-str", List(v)) => v.toString
+      case _ if argCounts.get(name).exists(_ > args.length) => Partial(name, args)
+      case _ => throw ShellException(
+        s"unknown function or bad arguments: $name(${args.mkString(", ")})")
+    }
+    case other => throw ShellException(s"not callable: $other")
+  }
+
+  private def num(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case other => throw ShellException(s"not a number: $other")
+  }
+
+  /** Compile a per-feature function value (lambda / bare symbol / partially
+    * applied call) to a Catalyst Column — the Spark-first replacement for the
+    * reference VM's per-item apply (api/vm.go:172-356). */
+  private def featureColumn(f: Any): Column = f match {
+    case LambdaE(List(param), body) => columnOf(body, param)
+    case SymbolE(name) => columnOf(CallE(SymbolE(name), List(SymbolE("__it"))), "__it")
+    case TagE(k, _) => col("tags").getItem(k).isNotNull // tag literal as predicate
+    case q: Query => q.toColumn
+    case c: Column => c
+    case Partial("matches", List(q)) => asQuery(q).toColumn
+    case Partial("tag" | "get", List(k: String)) => col("tags").getItem(k)
+    case Partial("get-string", List(k: String)) =>
+      coalesce(col("tags").getItem(k), lit(""))
+    case other => throw ShellException(s"not a per-feature function: $other")
+  }
+
+  /** Per-feature expression -> Column, with `param` bound to the feature row. */
+  private def columnOf(e: Expr, param: String): Column = e match {
+    case SymbolE(`param`) => col("id") // the feature itself (its id)
+    case IntE(v) => lit(v)
+    case FloatE(v) => lit(v)
+    case StringE(v) => lit(v)
+    case TagE(k, v) => lit(v) // tag literal in value position
+    case QueryE(q) => q.toColumn
+    case CallE(SymbolE(name), args, _) => (name, args) match {
+      case ("tag", List(SymbolE(`param`), k)) => col("tags").getItem(strOf(k))
+      case ("get", List(SymbolE(`param`), k)) => col("tags").getItem(strOf(k))
+      case ("get-string", List(SymbolE(`param`), k)) =>
+        coalesce(col("tags").getItem(strOf(k)), lit(""))
+      case ("value", List(inner)) => columnOf(inner, param)
+      case ("area", List(SymbolE(`param`))) =>
+        graft.functions.GeoFunctions.area_m2(col("geom"))
+      case ("length", List(SymbolE(`param`))) =>
+        graft.functions.GeoFunctions.length_m(col("geom"))
+      case ("highlight", List(inner)) => columnOf(inner, param)
+      case ("matches", List(SymbolE(`param`), QueryE(q))) => q.toColumn
+      case ("gt", List(a, b)) => columnOf(a, param) > columnOf(b, param)
+      case ("add", List(a, b)) => columnOf(a, param) + columnOf(b, param)
+      case ("divide", List(a, b)) => columnOf(a, param) / columnOf(b, param)
+      case ("to-str", List(a)) => columnOf(a, param).cast("string")
+      case _ => throw ShellException(s"unsupported in feature lambda: $name")
+    }
+    case other => throw ShellException(s"unsupported in feature lambda: $other")
+  }
+
+  private def strOf(e: Expr): String = e match {
+    case StringE(s) => s
+    case SymbolE(s) => s
+    case other => throw ShellException(s"expected string, got $other")
+  }
+}

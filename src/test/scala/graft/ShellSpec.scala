@@ -1,0 +1,201 @@
+package graft
+
+import graft.query._
+import graft.shell.Shell
+import graft.shell.Shell._
+import graft.sources.OsmWorld
+
+/**
+ * The shell expression language vs the reference's own corpus: parse shapes
+ * from api/shell_test.go:30-957, simplify behavior from :1081-1547, the
+ * unparse round-trip list from :1549-1569, and evaluation against the
+ * granary-square golden counts (python/diagonal_b6/b6_test.py:26-33).
+ */
+class ShellSpec extends SparkSuite {
+
+  // ---- parse shapes (shell_test.go TestParseExpression) ----------------------
+
+  test("literals: int, float, latlng, tags, quoted tag, string") {
+    assert(parse("42") == IntE(42))
+    assert(parse("42.0") == FloatE(42.0))
+    assert(parse("19.4008, -99.1663") == LatLngE(19.4008, -99.1663))
+    assert(parse("#highway=path") == TagE("#highway", "path"))
+    assert(parse("#nhs:hospital=yes") == TagE("#nhs:hospital", "yes"))
+    assert(parse("name=\"The Lighterman\"") == TagE("name", "The Lighterman"))
+    assert(parse("\"a string\"") == StringE("a string"))
+  }
+
+  test("feature ids: aliases /n/ /w/ /a/ /r/ and the long form") {
+    assert(parse("/n/6082053666") == FeatureIdE("point", "openstreetmap.org/node", 6082053666L))
+    assert(parse("/w/140633010") == FeatureIdE("path", "openstreetmap.org/way", 140633010L))
+    assert(parse("/a/427900370") == FeatureIdE("area", "openstreetmap.org/way", 427900370L))
+    assert(parse("/r/11139964") == FeatureIdE("relation", "openstreetmap.org/relation", 11139964L))
+    assert(parse("/area/openstreetmap.org/way/115912092") ==
+      FeatureIdE("area", "openstreetmap.org/way", 115912092L))
+    assert(parse("/collection/test/0") == FeatureIdE("collection", "test", 0L))
+  }
+
+  test("SimpleCall: find-feature /n/6082053666") {
+    assert(parse("find-feature /n/6082053666") ==
+      CallE(SymbolE("find-feature"),
+        List(FeatureIdE("point", "openstreetmap.org/node", 6082053666L))))
+  }
+
+  test("Pipeline2Stages: find \"highway=primary\" | highlight") {
+    assert(parse("find \"highway=primary\" | highlight") ==
+      CallE(SymbolE("highlight"),
+        List(CallE(SymbolE("find"), List(StringE("highway=primary")))), pipelined = true))
+  }
+
+  test("Pipeline3Stages: all-areas | filter | highlight") {
+    assert(parse("all-areas | filter | highlight") ==
+      CallE(SymbolE("highlight"), List(
+        CallE(SymbolE("filter"), List(CallE(SymbolE("all-areas"), Nil)), pipelined = true)),
+        pipelined = true))
+  }
+
+  test("query literals: [#building], [#building=yes & [#shop=supermarket | #shop=convenience]]") {
+    assert(parse("find [#building]") ==
+      CallE(SymbolE("find"), List(QueryE(Keyed("#building")))))
+    assert(parse("find [#building=yes & [#shop=supermarket | #shop=convenience]]") ==
+      CallE(SymbolE("find"), List(QueryE(
+        And(Seq(Tagged("#building", "yes"),
+          Or(Seq(Tagged("#shop", "supermarket"), Tagged("#shop", "convenience")))))))))
+  }
+
+  test("group: find (intersecting 19.4008, -99.1663)") {
+    assert(parse("find (intersecting 19.4008, -99.1663)") ==
+      CallE(SymbolE("find"),
+        List(CallE(SymbolE("intersecting"), List(LatLngE(19.4008, -99.1663))))))
+  }
+
+  test("lambdas: explicit arg, no-arg, eta-reducible") {
+    assert(parse("all-areas | {a -> highlight a}") ==
+      CallE(LambdaE(List("a"), CallE(SymbolE("highlight"), List(SymbolE("a")))),
+        List(CallE(SymbolE("all-areas"), Nil)), pipelined = true))
+    assert(parse("with-change {-> building-access}") ==
+      CallE(SymbolE("with-change"),
+        List(LambdaE(Nil, CallE(SymbolE("building-access"), Nil)))))
+    assert(parse("map {f -> tag f \"name\"} (all-areas)") ==
+      CallE(SymbolE("map"), List(
+        LambdaE(List("f"), CallE(SymbolE("tag"), List(SymbolE("f"), StringE("name")))),
+        CallE(SymbolE("all-areas"), Nil))))
+    assert(parse("map (tag \"name\") (all-areas)") ==
+      CallE(SymbolE("map"), List(
+        CallE(SymbolE("tag"), List(StringE("name"))),
+        CallE(SymbolE("all-areas"), Nil))))
+  }
+
+  test("collections: implicit int keys and key: value items") {
+    assert(parse("{\"motorway\", \"primary\"}") ==
+      CallE(SymbolE("collection"), List(
+        CallE(SymbolE("pair"), List(IntE(0), StringE("motorway"))),
+        CallE(SymbolE("pair"), List(IntE(1), StringE("primary"))))))
+    assert(parse("{\"motorway\": 36.0, \"primary\": 32.0}") ==
+      CallE(SymbolE("collection"), List(
+        CallE(SymbolE("pair"), List(StringE("motorway"), FloatE(36.0))),
+        CallE(SymbolE("pair"), List(StringE("primary"), FloatE(32.0))))))
+  }
+
+  // ---- simplify (shell_test.go TestSimplify*) --------------------------------
+
+  test("simplify: and/or calls over query literals fold into one query") {
+    val e = simplify(parse("find (and [#building=yes] (or [#amenity=restaurant] [#amenity=cafe]))"))
+    assert(e == CallE(SymbolE("find"), List(QueryE(
+      And(Seq(Tagged("#building", "yes"),
+        Or(Seq(Tagged("#amenity", "restaurant"), Tagged("#amenity", "cafe")))))))))
+  }
+
+  test("simplify: typed/keyed/tagged calls fold to query literals") {
+    assert(simplify(parse("find (typed \"area\" (keyed \"#building\"))")) ==
+      CallE(SymbolE("find"), List(QueryE(TypedQ("area", Keyed("#building"))))))
+    assert(simplify(parse("find (tagged \"#building\" \"yes\")")) ==
+      CallE(SymbolE("find"), List(QueryE(Tagged("#building", "yes")))))
+  }
+
+  test("simplify: no-arg call of an n-ary function collapses to the symbol") {
+    // 'all-areas | filter | highlight': bare 'filter' (arity 2) keeps only
+    // the pipelined arg -> stays a call; a truly-bare call like 'count'
+    // applied to nothing collapses
+    assert(simplify(parse("find")) == SymbolE("find"))
+  }
+
+  test("simplify: lambda eta-reduction {a -> highlight a} == highlight") {
+    assert(simplify(parse("{a -> highlight a}")) == SymbolE("highlight"))
+  }
+
+  test("simplify: nested And/Or queries flatten") {
+    assert(simplify(parse("[#a=x & [#b=y & [#c=z]]]")) match {
+      case QueryE(And(qs)) => qs.length == 3
+      case _ => false
+    })
+  }
+
+  // ---- unparse round trip (shell_test.go TestUnparseExpression) --------------
+
+  test("unparse round-trips the reference's corpus subset") {
+    val exprs = Seq(
+      "42",
+      "/w/140633010",
+      "[#amenity=cafe]",
+      "[#amenity=cafe | #amenity=restaurant]",
+      "area (find-feature /a/427900370)",
+      "find-feature /a/427900370 | area",
+      "find [#building] | filter {u -> gt (area u) 100} | count")
+    for (s <- exprs) {
+      assert(unparse(parse(s)) == s, s"round trip of $s gave ${unparse(parse(s))}")
+      // and the round-tripped text parses to the identical AST
+      assert(parse(unparse(parse(s))) == parse(s))
+    }
+  }
+
+  // ---- evaluation on the granary-square golden world -------------------------
+
+  lazy val world = OsmWorld.features(spark, "/root/reference/data/tests/granary-square.osm.pbf").cache()
+
+  test("eval: find [#amenity=bicycle_parking] | count == 11 (golden)") {
+    assert(Shell.run(world, "find [#amenity=bicycle_parking] | count") == 11L)
+  }
+
+  test("eval: all-areas | filter {b -> b6-keyed b} via query == 13 buildings (golden)") {
+    assert(Shell.run(world, "find-areas [#building] | count") == 13L)
+    assert(Shell.run(world, "find (typed \"path\" (keyed \"#highway\")) | count") == 117L)
+    assert(Shell.run(world, "find-areas [#highway] | count") == 5L)
+  }
+
+  test("eval: string query form and pipeline filter agree with the Query ADT") {
+    val direct = QueryPlanner.find(world, Tagged("#amenity", "bicycle_parking")).count()
+    assert(Shell.run(world, "find \"#amenity=bicycle_parking\" | count") == direct)
+    val viaFilter = Shell.run(world,
+      "find [#amenity] | filter {f -> matches f [#amenity=bicycle_parking]} | count")
+    assert(viaFilter == direct)
+  }
+
+  test("eval: intersecting-cap compiles to the cap query (golden bench query shape)") {
+    val direct = QueryPlanner.find(world,
+      And(Seq(Keyed("#building"), IntersectsCap(51.5353, -0.1258, 250.0)))).count()
+    val shell = Shell.run(world,
+      "find (and [#building] (intersecting-cap 51.5353, -0.1258 250.0)) | count")
+    assert(shell == direct && direct.asInstanceOf[Long] > 0)
+  }
+
+  test("eval: map compiles the lambda to a Column (names of named areas)") {
+    val df = Shell.runDf(world, "all-areas | map {f -> tag f \"name\"}")
+    assert(df.columns.contains("value"))
+    val names = df.where(org.apache.spark.sql.functions.col("value").isNotNull)
+      .select("value").collect().map(_.getString(0)).toSet
+    assert(names.nonEmpty)
+  }
+
+  test("eval: take and highlight preserve the collection") {
+    assert(Shell.run(world, "find [#highway] | take 7 | count") == 7L)
+    assert(Shell.run(world, "find [#building] | highlight | count") ==
+      Shell.run(world, "find [#building] | count"))
+  }
+
+  test("eval: scalar add/divide follow b6 int semantics") {
+    assert(Shell.run(world, "add 2 3") == 5L)
+    assert(Shell.run(world, "divide 7 2") == 3L) // int/int = int (math.go:16)
+    assert(Shell.run(world, "divide 7.0 2") == 3.5)
+  }
+}

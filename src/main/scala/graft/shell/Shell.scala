@@ -524,6 +524,22 @@ object Shell {
     case other => throw ShellException(s"unsupported in feature lambda: $other")
   }
 
+  /** Compile a shell function-expression (lambda / symbol / partial) to a
+    * per-feature Column — the QueryRenderer's `args.V` hook
+    * (renderer/query.go:66-78). */
+  def featureFn(world: DataFrame, expression: String): Column =
+    featureColumn(run(world, expression))
+
+  /** Parse a feature-id token like `/a/427900370` or `/point/ns/7`
+    * (api/shell.go:158-170), for collection items that reference features. */
+  def parseFeatureIdToken(s: String): Option[(String, String, Long)] =
+    try {
+      lex(s) match {
+        case Vector(Fid(t, ns, v), EofT) => Some((t, ns, v))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   private def strOf(e: Expr): String = e match {
     case StringE(s) => s
     case SymbolE(s) => s

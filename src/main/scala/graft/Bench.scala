@@ -84,7 +84,11 @@ object Bench {
     // Keyed(#building) AND IntersectsCap(51.5305,-0.1232,1km) over camden.
     val camden = if (scalingOnly) "" else {
       val s = session(cpus)
-      val world = graft.sources.OsmWorld.features(
+      // distributed ingest (row-identical to the driver parse, see
+      // DistributedOsmSpec): the driver-parse path materialises a
+      // LocalRelation whose rows ship INSIDE every task binary — the 1.8 MiB
+      // task-size warnings in the r2 bench log
+      val world = graft.sources.OsmWorld.featuresDistributed(
         s, "/root/reference/data/tests/camden.osm.pbf").cache()
       world.count() // materialise (the reference benchmark also pre-builds)
       import graft.query._

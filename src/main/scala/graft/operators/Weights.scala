@@ -49,15 +49,82 @@ object Weights {
       .otherwise(costMeters / (speed * lit(1000.0 / 3600.0)) * weightMultiplier(tags))
   }
 
-  private val busUsable = Seq("motorway", "trunk", "primary", "secondary",
-    "tertiary", "unclassified", "residential", "busway", "service")
+  // ---- usability predicates (the reference's tag-level rules) ----------------
 
-  /** Bus usability (BusWeights, graph.go:60-107): usable classes at car speed
-    * capped to 50 km/h, otherwise unusable. */
-  def busSeconds(costMeters: Column, tags: Column): Column = {
-    val cls = tags.getItem("#highway")
-    when(cls.isin(busUsable: _*),
+  private def highway(tags: Column): Column = tags.getItem("#highway")
+  private def isConnection(tags: Column): Column =
+    tags.getItem("diagonal") === "connection"
+
+  /** IsPathUsableByBus (graph.go:60-81), faithfully: diagonal=connection is
+    * always usable; the highway reject-list (footway/steps/corridor/path/
+    * pedestrian, cycleway/bridleway/escape, proposed/construction) is
+    * unusable; access=no flips usable only when bus=yes; non-highways are
+    * unusable. */
+  def isPathUsableByBus(tags: Column): Column = {
+    val rejected = highway(tags).isin(
+      "footway", "steps", "corridor", "path", "pedestrian",
+      "cycleway", "bridleway", "escape", "proposed", "construction")
+    when(isConnection(tags), lit(true))
+      .when(highway(tags).isNull, lit(false))
+      .when(rejected, lit(false))
+      .when(tags.getItem("access") === "no",
+        coalesce(tags.getItem("bus") === "yes", lit(false)))
+      .otherwise(lit(true))
+  }
+
+  /** IsSegmentUseableInThisDirectionByBus (graph.go:89-97): any direction
+    * unless oneway=yes; oneway:bus=no overrides; else forward only. */
+  def isDirectionUsableByBus(tags: Column, forward: Column): Column =
+    when(coalesce(tags.getItem("oneway") === "yes", lit(false)), // null != "yes"
+      coalesce(tags.getItem("oneway:bus") === "no", lit(false)) || forward)
+      .otherwise(lit(true))
+
+  /** BusWeights.IsUseable (graph.go:101-103). */
+  def busUsable(tags: Column, forward: Column): Column =
+    isDirectionUsableByBus(tags, forward) && isPathUsableByBus(tags)
+
+  /** IsPathPreferredByBus (graph.go:84-87). */
+  def isPathPreferredByBus(tags: Column): Column =
+    highway(tags).isin("primary", "secondary", "trunk")
+
+  /** IsPathUsableByCar (graph.go:109-127): same reject list, no access/bus
+    * exception. */
+  def isPathUsableByCar(tags: Column): Column = {
+    val rejected = highway(tags).isin(
+      "footway", "steps", "corridor", "path", "pedestrian",
+      "cycleway", "bridleway", "escape", "proposed", "construction")
+    when(isConnection(tags), lit(true))
+      .when(highway(tags).isNull, lit(false))
+      .otherwise(!rejected)
+  }
+
+  /** IsSegmentUseableInThisDirectionByCar (graph.go:129-134). */
+  def isDirectionUsableByCar(tags: Column, forward: Column): Column =
+    when(coalesce(tags.getItem("oneway") === "yes", lit(false)), forward)
+      .otherwise(lit(true))
+
+  /** CarWeights.IsUseable (graph.go:138-140). */
+  def carUsable(tags: Column, forward: Column): Column =
+    isDirectionUsableByCar(tags, forward) && isPathUsableByCar(tags)
+
+  /** IsPathUsableByPedestrian (graph.go:144-156): everything but motorway. */
+  def isPathUsableByPedestrian(tags: Column): Column =
+    when(isConnection(tags), lit(true))
+      .when(highway(tags).isNull, lit(false))
+      .otherwise(highway(tags) =!= "motorway")
+
+  /** BusWeights.Weight == weightFromSegment (graph.go:22-30,105-107): plain
+    * meters x diagonal:weight — the reference assigns buses no speed model.
+    * Usability gates the edge instead (`busUsable`). */
+  def busWeight(costMeters: Column, tags: Column): Column =
+    costMeters * weightMultiplier(tags)
+
+  /** Bus travel-time convenience used by this engine's transit plane: usable
+    * edges at the car class speed capped to 50 km/h (an ENGINE extension —
+    * the reference's BusWeights carries no speed; kept for the GTFS peak
+    * model, documented as ours). */
+  def busSeconds(costMeters: Column, tags: Column): Column =
+    when(isPathUsableByBus(tags),
       costMeters / lit(50.0 * 1000.0 / 3600.0) * weightMultiplier(tags))
       .otherwise(lit(Double.PositiveInfinity))
-  }
 }

@@ -72,6 +72,25 @@ class RelationsSpec extends SparkSuite {
     assert(found > 0, "at least one granary building has a walkable approach")
   }
 
+  test("entranceApproachAll (distributed) equals the per-area path on every granary building") {
+    val world = OsmWorld.features(spark, pbf).cache()
+    val buildingIds = world.where(col("id.ftype") === "area" &&
+        col("id.ns") === "openstreetmap.org/way" &&
+        col("tags").getItem("#building").isNotNull)
+      .select(col("id.value")).as[Long].collect()
+    val single = buildingIds.flatMap { id =>
+      graft.operators.Entrances.entranceApproach(world, refs, id).map(a => id -> a)
+    }.toMap
+    val batch = graft.operators.Entrances.entranceApproachAll(
+        world, refs, buildingIds.toSeq.toDF("area_id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(batch.keySet == single.keySet,
+      s"coverage differs: only-batch=${batch.keySet -- single.keySet} only-single=${single.keySet -- batch.keySet}")
+    batch.foreach { case (id, a) =>
+      assert(a == single(id), s"approach for $id differs: batch=$a single=${single(id)}")
+    }
+  }
+
   test("referencesFor batch lookup equals per-id lookups") {
     val ids = Seq(BridgeSouthEnd, 999999999999L).toDF("fid")
     val batch = Relations.referencesFor(refs, ids, Seq("path"))

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Changes
+import graft.render.Renderers.{WorldId, World, WorldRegistry}
+import graft.server.EvaluateService
+import org.apache.spark.sql.functions._
+
+/** The remote-evaluation boundary vs the reference contract
+  * (grpc/service.go:26-90): expression + world id in, world-scoped typed
+  * result out, version gate. */
+class EvaluateServiceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emptyRefs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "from_type string, from_id long, to_type string, to_id long, role string, pos int"))
+
+  lazy val reg = new WorldRegistry(spark, World(
+    graft.sources.OsmWorld.features(
+      spark, "/root/reference/data/tests/granary-square.osm.pbf").cache(),
+    emptyRefs, Seq.empty[Changes.ItemAdd].toDF()))
+
+  test("evaluate: counts, collections and scalars come back typed") {
+    val count = EvaluateService.evaluate(reg,
+      "find [#amenity=bicycle_parking] | count", None, "1")
+    assert(count.kind == "long" && count.json == "11")
+    val coll = EvaluateService.evaluate(reg, "find-areas [#building] | take 2", None, "1")
+    assert(coll.kind == "collection" && coll.json.startsWith("[{"))
+    val s = EvaluateService.evaluate(reg, "divide 7 2", None, "1")
+    assert(s.kind == "long" && s.json == "3")
+  }
+
+  test("evaluate: version gate rejects incompatible majors (grpc/service.go:37-41)") {
+    intercept[Exception] {
+      EvaluateService.evaluate(reg, "42", None, "2.0.0")
+    }
+  }
+
+  test("evaluate: a named world sees its change, the default world does not") {
+    val scenario = WorldId("collection", "graft/eval", 3L)
+    val building = reg.findOrCreate(graft.render.Renderers.DefaultWorldId).features
+      .where(col("id.ftype") === "area" && col("tags").getItem("#building").isNotNull)
+      .select("id.value").head.getLong(0)
+    reg.applyChange(scenario, Changes.tagChange(
+      "area", "openstreetmap.org/way", building, "#amenity", Some("eval-test")))
+    val inScenario = EvaluateService.evaluate(reg,
+      "find [#amenity=eval-test] | count", Some("/collection/graft/eval/3"), "1")
+    assert(inScenario.json == "1")
+    val inBase = EvaluateService.evaluate(reg,
+      "find [#amenity=eval-test] | count", None, "1")
+    assert(inBase.json == "0")
+  }
+
+  test("HTTP POST /evaluate round-trips JSON") {
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/evaluate")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"expression": "find [#building] | count", "version": "1"}""".getBytes("UTF-8"))
+      val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode == 200)
+      assert(resp.contains("\"type\":\"long\""), resp)
+      // a bad expression comes back as a 400 with an error body
+      val bad = new java.net.URL(s"http://127.0.0.1:$port/evaluate")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      bad.setRequestMethod("POST")
+      bad.setDoOutput(true)
+      bad.getOutputStream.write("""{"expression": "no-such-fn 1 2 3"}""".getBytes("UTF-8"))
+      assert(bad.getResponseCode == 400)
+    } finally server.stop(0)
+  }
+}

@@ -798,11 +798,23 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // -- simhash replayed exactly: FNV-1a byte chain + splitmix64 (staged
+    //    64-bit arithmetic, Fixtures.U64Sql) + bit votes --
+    "td_simhash" -> Fixtures.simhashOracleSql,
+
+    // -- SRP-LSH replayed exactly: the deterministic splitmix64 planes are
+    //    reconstructed in SQL, so the oracle computes the same buckets and
+    //    candidate set as the engine — no recall caveat --
+    "ann_lsh" -> Fixtures.annLshOracleSql(tables = 16, bits = 5, dim = 64,
+      k = 5, nQueries = 5),
+
+    // -- banded minhash replayed exactly (Fixtures.minhashLshOracleSql) --
+    "td_minhash_pairs" -> Fixtures.minhashLshOracleSql(k = 3, threshold = 0.4),
+
     // geo_hull: convex hulls are not ANSI-SQL-expressible without an O(n^3)
     // half-plane scan — rows-only; exactness covered by the ScalaTest oracle.
-    // td_minhash_pairs / td_simhash / ann_lsh / mm_decode: not
-    // DuckDB-expressible (LSH banding recall < 1 by construction, binary
-    // decode) — rows-only check; exactness is covered by the ScalaTest
-    // brute-force oracles.
+    // mm_decode / rd_mvt / rd_basemap / sl_sightline: rows-only (binary
+    // image decode / protobuf tile bytes / trig occlusion are not SQL) —
+    // exactness is covered by the ScalaTest wire-level and golden oracles.
   )
 }

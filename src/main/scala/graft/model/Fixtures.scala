@@ -201,6 +201,155 @@ object Fixtures {
     s"${perPoly.mkString(" UNION ALL ")} ORDER BY poly_id"
   }
 
+  /**
+   * Inline 64-bit arithmetic fragments for DuckDB hash-replay oracles (the
+   * driver runs each oracle as ONE standalone statement — no macros): mod-2^64
+   * multiply without INT128 overflow (split at 2^32), full-width xor via the
+   * signed-BIGINT bridge, and splitmix64 staged across CTE columns so the
+   * inline expansion stays constant-size per stage.
+   */
+  object U64Sql {
+    val M = "18446744073709551616"
+    def u2s(h: String): String =
+      s"CAST(CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - $M ELSE ($h) END AS BIGINT)"
+    def s2u(h: String): String =
+      s"CAST(CASE WHEN ($h) < 0 THEN CAST(($h) AS HUGEINT) + $M ELSE CAST(($h) AS HUGEINT) END AS HUGEINT)"
+    def x64(a: String, b: String): String = s2u(s"xor(${u2s(a)}, ${u2s(b)})")
+    /** a*b mod 2^64: al*b + ((ah*(b mod 2^32)) mod 2^32)<<32, all < 2^127. */
+    def m64(a: String, b: String): String =
+      s"((($a) % 4294967296) * ($b) + (((($a) // 4294967296) * (($b) % 4294967296)) % 4294967296) * 4294967296) % $M"
+    /** FNV-1a step inside a list_reduce lambda (h: HUGEINT acc, b: byte). */
+    val fnv1aStep: String =
+      m64("h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))", "1099511628211")
+    /** splitmix64 over column `z` of CTE `src` (carrying `keys`), as 4 chained
+      * CTE stages named `<src>_s1.._s3` and a final select aliased `h`. */
+    def sm64Ctes(src: String, keys: Seq[String]): (String, String) = {
+      val ks = keys.mkString(", ")
+      val pre = if (ks.isEmpty) "" else ks + ", "
+      val ctes =
+        s"""${src}_s1 AS (SELECT $pre((z + 11400714819323198485) % $M) AS z FROM $src),
+           |${src}_s2 AS (SELECT $pre${m64(x64("z", "(z // 1073741824)"), "13787848793156543929")} AS z FROM ${src}_s1),
+           |${src}_s3 AS (SELECT $pre${m64(x64("z", "(z // 134217728)"), "10723151780598845931")} AS z FROM ${src}_s2),
+           |${src}_h AS (SELECT $pre${x64("z", "(z // 2147483648)")} AS h FROM ${src}_s3)""".stripMargin
+      (ctes, s"${src}_h")
+    }
+  }
+
+  /** td_simhash oracle: FNV-1a per token (byte replay) -> splitmix64 ->
+    * 64 bit-votes -> signature, all in exact integer arithmetic. */
+  def simhashOracleSql: String = {
+    import U64Sql._
+    val (smCtes, smOut) = sm64Ctes("fnv", Seq("doc_id"))
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |                 [CAST(ord(c) AS HUGEINT) for c in string_split(tok, '')]),
+       |    (h, b) -> $fnv1aStep) AS z
+       |  FROM toks),
+       |$smCtes,
+       |votes AS (
+       |  SELECT doc_id, b.b AS bit,
+       |    sum(CASE WHEN (h // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM $smOut CROSS JOIN (SELECT unnest(range(64)) AS b) b
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  ${u2s("CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS HUGEINT) ELSE 0 END) AS HUGEINT)")} AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** ann_lsh oracle: the FULL algorithm replayed — deterministic Rademacher
+    * planes from splitmix64 (Ann.planes), signed projections via sequential
+    * list_dot_product, bucket equi-join per table, exact cosine rank. No
+    * recall caveat: the oracle computes the same buckets the engine does. */
+  def annLshOracleSql(tables: Int, bits: Int, dim: Int, k: Int, nQueries: Int): String = {
+    import U64Sql._
+    val (smCtes, smOut) = sm64Ctes("seed", Seq("p", "d"))
+    s"""WITH pd AS (
+       |  SELECT pp.p, dd.d
+       |  FROM (SELECT unnest(range(${tables * bits})) AS p) pp,
+       |       (SELECT unnest(range($dim)) AS d) dd),
+       |seed AS (SELECT p, d, CAST(p * 1000003 + d AS HUGEINT) AS z FROM pd),
+       |$smCtes,
+       |pl AS (
+       |  SELECT p, list(CASE WHEN h % 2 = 1 THEN 1.0 ELSE -1.0 END ORDER BY d) AS plane
+       |  FROM $smOut GROUP BY p),
+       |bkt AS (
+       |  SELECT e.vec_id, p.p // $bits AS t,
+       |    sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) > 0
+       |        THEN CAST(power(2, p.p % $bits) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM embeddings e CROSS JOIN pl p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS qid, db.vec_id AS neighbor_id
+       |  FROM bkt qb JOIN bkt db ON qb.t = db.t AND qb.bucket = db.bucket
+       |  WHERE qb.vec_id < $nQueries AND db.vec_id <> qb.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.neighbor_id,
+       |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+       |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cosine
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = c.qid)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
+       |FROM scored QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /**
+   * td_minhash_pairs oracle: the ENTIRE banded-minhash pipeline replayed in
+   * SQL — FNV-1a per shingle (byte replay), 32 splitmix64-mixed min-hashes
+   * (signed-min like the JVM), 8 band hashes as 4 UNROLLED splitmix64 chain
+   * hops (rowsPerBand is fixed, so the fold becomes staged CTE columns),
+   * bucket self-join, exact shingle-set Jaccard verify. No recall caveat:
+   * the oracle computes the same buckets the engine does. Valid while no
+   * gate bucket exceeds the star cap (fixture buckets are tiny).
+   */
+  def minhashLshOracleSql(k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.4): String = {
+    import U64Sql._
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand == 4, "the unrolled band-hash fold is generated for rowsPerBand=4")
+    val (seedCtes, seedOut) = sm64Ctes("seed0", Seq("i"))
+    val (xCtes, xOut) = sm64Ctes("xin", Seq("doc_id", "i"))
+    val hops = (0 until rowsPerBand).flatMap { r =>
+      val src = s"hop$r"
+      val prev = if (r == 0) "piv" else s"hop${r - 1}_sig"
+      val inp = s"$src AS (SELECT doc_id, band_id, v0, v1, v2, v3, " +
+        s"${s2u(s"xor(${u2s("hs")}, v$r)")} AS z FROM $prev)"
+      val (ctes, out) = sm64Ctes(src, Seq("doc_id", "band_id", "v0", "v1", "v2", "v3"))
+      val conv = s"${src}_sig AS (SELECT doc_id, band_id, v0, v1, v2, v3, ${u2s("h")} AS hs FROM $out)"
+      Seq(inp, ctes, conv)
+    }
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+${k - 1}], ' ') for i in range(1, greatest(len(t) - ${k - 2}, 1))]) AS s FROM toks),
+       |shx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |base AS (SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |                 [CAST(ord(c) AS HUGEINT) for c in string_split(shingle, '')]),
+       |    (h, b) -> $fnv1aStep) AS bh FROM shx),
+       |seed0 AS (SELECT i, CAST(1000003 * (i + 1) AS HUGEINT) AS z FROM (SELECT unnest(range($numHashes)) AS i)),
+       |$seedCtes,
+       |xin AS (SELECT b.doc_id, s.i, ${x64("b.bh", "s.h")} AS z FROM base b CROSS JOIN $seedOut s),
+       |$xCtes,
+       |sig AS (SELECT doc_id, i, min(${u2s("h")}) AS sv FROM $xOut GROUP BY 1, 2),
+       |piv AS (SELECT doc_id, i // $rowsPerBand AS band_id,
+       |    max(CASE WHEN i % $rowsPerBand = 0 THEN sv END) AS v0,
+       |    max(CASE WHEN i % $rowsPerBand = 1 THEN sv END) AS v1,
+       |    max(CASE WHEN i % $rowsPerBand = 2 THEN sv END) AS v2,
+       |    max(CASE WHEN i % $rowsPerBand = 3 THEN sv END) AS v3,
+       |    xor(CAST(-3750763034362895579 AS BIGINT), i // $rowsPerBand) AS hs
+       |  FROM sig GROUP BY doc_id, i // $rowsPerBand),
+       |${hops.map(_ + ",").mkString("\n")}
+       |banded AS (SELECT doc_id, band_id, hs FROM hop${rowsPerBand - 1}_sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.hs = b.hs
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Seeded polygon fleet for benchmarks: n pentagons of varied size (0.3-4 km)
     * over the point bbox, overlapping the hot cluster — a realistic feature
     * side (hundreds of areas) for the flagship spatial join. */

@@ -195,6 +195,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "ann_ivf" -> ((s, d) => {
+      // IVF mechanics under a deterministic data-derived codebook (the first
+      // 16 vectors): assignment, nProbe probing, list equi-join, exact rank —
+      // all replayable in SQL straight off the embeddings view. REAL k-means
+      // training (trainIvfCentroids) is covered by AnnSpec recall tests.
+      val e = t(s, d, "embeddings")
+      val cents = e.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosineIvf(e, q, 5, cents, nProbe = 4)
+        .select("qid", "rank", "neighbor_id").orderBy("qid", "rank")
+    }),
+
     "ann_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val dupes = e.where(col("vec_id") < 10)
@@ -807,6 +822,41 @@ object SparkEntry {
     //    candidate set as the engine — no recall caveat --
     "ann_lsh" -> Fixtures.annLshOracleSql(tables = 16, bits = 5, dim = 64,
       k = 5, nQueries = 5),
+
+    // -- IVF search replayed exactly: the codebook is a deterministic view
+    //    of the data (vec_id < 16), so assignment/probing/candidate rank are
+    //    plain SQL over the same sequential-double cosine --
+    "ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS list, CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings WHERE vec_id < 16),
+        |cosines AS (
+        |  SELECT e.vec_id, ct.list,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ct.c) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(ct.c, ct.c))) AS cos
+        |  FROM embeddings e CROSS JOIN cents ct),
+        |assign AS (
+        |  SELECT vec_id, list FROM (
+        |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS rn
+        |    FROM cosines) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, list FROM (
+        |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS rn
+        |    FROM cosines WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.list = p.list
+        |  WHERE a.vec_id <> p.qid),
+        |scored AS (
+        |  SELECT c.qid, c.neighbor_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cosine
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        |  JOIN embeddings qe ON qe.vec_id = c.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
+        |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // -- banded minhash replayed exactly (Fixtures.minhashLshOracleSql) --
     "td_minhash_pairs" -> Fixtures.minhashLshOracleSql(k = 3, threshold = 0.4),

@@ -98,6 +98,112 @@ object Ann {
   }
 
   /**
+   * IVF coarse quantizer: deterministic Lloyd's k-means over a driver-side
+   * sample (ordered by id, so training is reproducible — the centroids are
+   * BUILD ARTIFACTS, like an index, and double as literals in the DuckDB
+   * oracle). At 10^12 scale the sample stays driver-sized while assignment
+   * and search are fully distributed.
+   */
+  def trainIvfCentroids(data: DataFrame, nLists: Int, iters: Int = 5,
+                        sampleN: Int = 4096,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = data.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    // init: evenly strided sample vectors
+    var centroids = Array.tabulate(nLists)(i => sample((i * sample.length / nLists) % sample.length).clone())
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var l = 0
+        while (l < nLists) {
+          val c = cosine(v, centroids(l))
+          if (c > bestC) { bestC = c; best = l }
+          l += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nLists) { l =>
+        if (counts(l) == 0) centroids(l)
+        else Array.tabulate(dim)(i => sums(l)(i) / counts(l))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /**
+   * IVF-bucketed approximate NN (the inverted-file scale path next to
+   * `cosineLsh`): every vector joins the list of its nearest centroid (one
+   * scan, broadcast centroids); a query probes its `nProbe` nearest lists,
+   * candidates meet by LIST equi-join — never a cross join — and rank by
+   * exact cosine. Assignment argmax is deterministic (cosine desc, list id),
+   * and every arithmetic step is a sequential double accumulation, so the
+   * whole search replays bit-exactly in SQL with the centroids as literals.
+   */
+  def cosineIvf(data: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], nProbe: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = data.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestC = Double.NegativeInfinity
+      var l = 0
+      while (l < cs.length) {
+        val c = cs(l)
+        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(vec.length, c.length)
+        while (i < n) {
+          val v = vec(i).toDouble
+          s += v * c(i); na += v * v; nb += c(i) * c(i); i += 1
+        }
+        val cos = s / (math.sqrt(na) * math.sqrt(nb))
+        if (cos > bestC) { bestC = cos; best = l }
+        l += 1
+      }
+      best
+    }
+    val probe = udf { (vec: Seq[Float]) =>
+      val cs = bc.value
+      val scored = Array.tabulate(cs.length) { l =>
+        val c = cs(l)
+        var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(vec.length, c.length)
+        while (i < n) {
+          val v = vec(i).toDouble
+          s += v * c(i); na += v * v; nb += c(i) * c(i); i += 1
+        }
+        (s / (math.sqrt(na) * math.sqrt(nb)), l)
+      }
+      scored.sortBy { case (c, l) => (-c, l) }.take(nProbe).map(_._2)
+    }
+    val d = data.withColumn("__list", assign(col(vecCol)))
+    val q = queries.withColumn("__list", explode(probe(col(qvecCol))))
+    val cand = d.join(broadcast(q), Seq("__list"))
+      .where(col(idCol) =!= col(qidCol))
+      .dropDuplicates(idCol, qidCol)
+      .withColumn("cosine",
+        dot(col(vecCol), col(qvecCol)) / (norm(col(vecCol)) * norm(col(qvecCol))))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol).as("neighbor_id"), col("cosine"))
+  }
+
+  /**
    * LSH-bucketed approximate NN: join on signed-random-projection bucket over
    * `tables` independent hash tables, then exact cosine within buckets.
    * Recall < 1 by construction; tested against the brute-force baseline.

@@ -106,6 +106,20 @@ class AnnSpec extends SparkSuite {
       s"expected ${n - 1} star pairs, got ${pairs.size}")
   }
 
+  test("cosineIvf with trained centroids achieves reasonable recall vs brute force") {
+    val cents = Ann.trainIvfCentroids(data, nLists = 16, iters = 5)
+    assert(cents.length == 16 && cents.head.length == 64)
+    // deterministic training: same inputs -> identical centroids
+    val cents2 = Ann.trainIvfCentroids(data, nLists = 16, iters = 5)
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    val exact = bruteForce(5).map { case (q, _, n) => (q, n) }
+    val got = Ann.cosineIvf(data, queries, 5, cents, nProbe = 6)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("cosineLsh achieves reasonable recall vs brute force") {
     val exact = bruteForce(5).map { case (q, _, n) => (q, n) }
     val got = Ann.cosineLsh(data, queries, 5, bits = 5, tables = 16)

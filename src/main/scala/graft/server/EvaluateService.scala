@@ -36,6 +36,13 @@ object EvaluateService {
       .map { case (t, ns, v) => WorldId(t, ns, v) }.getOrElse(DefaultWorldId)
     val w = reg.findOrCreate(id)
     Shell.run(w.features, expression) match {
+      case change: graft.operators.Changes.ChangeSet =>
+        // a Change result applies TRANSACTIONALLY to the requested world and
+        // the changed ids come back (grpc/service.go:60-67)
+        reg.applyChange(id, change)
+        val ids = (change.adds.map(a => s""""/${a.ftype}/${a.ns}/${a.value}"""") ++
+          change.tagEdits.map(e => s""""/${e.ftype}/${e.ns}/${e.value}""""))
+        EvaluateResult("change-applied", ids.mkString("[", ",", "]"))
       case ds: org.apache.spark.sql.Dataset[_] =>
         val rows = ds.toDF().limit(maxRows).toJSON.collect()
         EvaluateResult("collection", rows.mkString("[", ",", "]"))

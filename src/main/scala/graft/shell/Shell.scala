@@ -274,7 +274,8 @@ object Shell {
     "find-relations" -> 1, "intersecting" -> 1, "intersecting-cap" -> 2,
     "tag" -> 2, "value" -> 1, "get" -> 2, "get-string" -> 2, "add-tag" -> 2,
     "keyed" -> 1, "tagged" -> 2, "and" -> 2, "or" -> 2, "typed" -> 2,
-    "count-values" -> 1, "building-access" -> 1, "with-change" -> 2,
+    "count-values" -> 1, "building-access" -> 1, "with-change" -> 1,
+    "remove-tag" -> 2, "add-relation" -> 2, "merge-changes" -> 1,
     "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
     "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
 
@@ -453,6 +454,29 @@ object Shell {
       case ("highlight", List(c)) => c // UI marker: identity over the collection
       case ("tag", List(k: String, v: String)) => TagE(k, v)
       case ("value", List(TagE(_, v))) => v
+      // change-producing functions (api/functions/change.go): on a feature id
+      // they RETURN a ChangeSet — application happens at the evaluation
+      // boundary (grpc/service.go:60-67), mirrored by EvaluateService.
+      case ("add-tag", List(FeatureIdE(t, ns, v), TagE(k, tv))) =>
+        graft.operators.Changes.tagChange(t, ns, v, k, Some(tv))
+      case ("remove-tag", List(FeatureIdE(t, ns, v), k: String)) =>
+        graft.operators.Changes.tagChange(t, ns, v, k, None)
+      case ("add-relation", List(FeatureIdE(_, ns, v), TagE(k, tv))) =>
+        graft.operators.Changes.addRelation(ns, v, Map(k -> tv), Nil)
+      case ("merge-changes", List(changes: Seq[_])) =>
+        graft.operators.Changes.merge(changes.toSeq.map {
+          case (_, c: graft.operators.Changes.ChangeSet) => c
+          case c: graft.operators.Changes.ChangeSet => c
+          case other => throw ShellException(s"not a change: $other")
+        })
+      case ("with-change", List(l: LambdaE)) if l.args.isEmpty =>
+        // evaluate the change-producing body now; the caller (the evaluation
+        // boundary) applies the resulting ChangeSet transactionally
+        eval(world, l.body) match {
+          case c: graft.operators.Changes.ChangeSet => c
+          case other => throw ShellException(s"with-change body must produce a change, got $other")
+        }
+      // engine extension: add-tag over a COLLECTION tags every feature
       case ("add-tag", List(c, TagE(k, v))) =>
         graft.operators.Worlds.addTag(asDf(c), k, lit(v))
       case ("collection", pairs) => pairs.map {

@@ -52,6 +52,24 @@ class EvaluateServiceSpec extends SparkSuite {
     assert(inBase.json == "0")
   }
 
+  test("with-change through the shell applies transactionally to the requested world (service.go:60-67)") {
+    val scenario = WorldId("collection", "graft/eval", 7L)
+    val building = reg.findOrCreate(graft.render.Renderers.DefaultWorldId).features
+      .where(col("id.ftype") === "area" && col("tags").getItem("#building").isNotNull)
+      .select("id.value").head.getLong(0)
+    val r = EvaluateService.evaluate(reg,
+      s"""with-change {-> add-tag /a/$building #amenity=shell-change}""",
+      Some("/collection/graft/eval/7"), "1")
+    assert(r.kind == "change-applied", r.toString)
+    assert(r.json.contains(s"/area/openstreetmap.org/way/$building"))
+    val after = EvaluateService.evaluate(reg,
+      "find [#amenity=shell-change] | count", Some("/collection/graft/eval/7"), "1")
+    assert(after.json == "1")
+    val base = EvaluateService.evaluate(reg,
+      "find [#amenity=shell-change] | count", None, "1")
+    assert(base.json == "0")
+  }
+
   test("HTTP POST /evaluate round-trips JSON") {
     val server = EvaluateService.serve(reg)
     try {

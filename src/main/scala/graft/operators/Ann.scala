@@ -14,12 +14,26 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Exact cosine as ONE tight-loop UDF (the aggregate(zip_with(..)) HOF
+    * formulation is interpreted per element by Catalyst; one JVM loop per
+    * pair scales better on wide embeddings). Accumulation order (ascending
+    * components, s / (sqrt(na) * sqrt(nb))) is IDENTICAL to the sequential
+    * HOF fold and to DuckDB's list_dot_product, so every oracle stays
+    * bit-exact. */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      s += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-  private def norm(a: org.apache.spark.sql.Column) =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  private def cosineOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    cosineUdf(a, b)
 
   /**
    * Exact top-k cosine neighbors for each query vector.
@@ -32,7 +46,7 @@ object Ann {
     val scored = data.join(broadcast(queries))
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine",
-        dot(col(vecCol), col(qvecCol)) / (norm(col(vecCol)) * norm(col(qvecCol))))
+        cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))
@@ -92,7 +106,7 @@ object Ann {
       .join(base.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .withColumn("cosine",
-        dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+        cosineOf(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -197,7 +211,7 @@ object Ann {
       .where(col(idCol) =!= col(qidCol))
       .dropDuplicates(idCol, qidCol)
       .withColumn("cosine",
-        dot(col(vecCol), col(qvecCol)) / (norm(col(vecCol)) * norm(col(qvecCol))))
+        cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol).as("neighbor_id"), col("cosine"))
@@ -245,7 +259,7 @@ object Ann {
       .where(col(idCol) =!= col(qidCol))
       .dropDuplicates(idCol, qidCol)
       .withColumn("cosine",
-        dot(col(vecCol), col(qvecCol)) / (norm(col(vecCol)) * norm(col(qvecCol))))
+        cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))

@@ -33,6 +33,18 @@ object FeatureIndex {
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
   /**
+   * Bucketed-TABLE variant (Spark `bucketBy` + `sortBy` into the catalog):
+   * two tables bucketed the same way join on `cell16` CO-LOCATED — no
+   * Exchange on either side of the SortMergeJoin (spec-asserted on the
+   * physical plan). This is the 100 TB layout for REPEATED spatial
+   * self-joins (features vs features, points vs the same polygon index every
+   * night): the shuffle is paid once at write time, never per query.
+   */
+  def buildBucketedTable(features: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    features.write.bucketBy(nBuckets, "cell16").sortBy("cell16")
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /**
    * Index tokens per feature — the reference's token scheme made visible
    * (debug-tokens, api/functions/debug.go:14-19; token generation
    * ingest/tokens.go:9-28): `*`, `s2:<cell>` for each covering cell,

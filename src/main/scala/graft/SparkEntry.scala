@@ -266,6 +266,17 @@ object SparkEntry {
         .orderBy("n_valid")
     }),
 
+    "gr_connect" -> ((s, d) => {
+      // connect-to-network-all: every 50th point projects onto the street
+      // grid via an exact kNN(k=1) access edge within 800 m
+      // (api/functions/graph.go:547-586)
+      val (nodes, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
+      val feats = Fixtures.points(s, d).where(col("point_id") % 50 === 0)
+        .select((col("point_id") + 100000L).as("fid"), col("lat"), col("lng"))
+      graft.operators.Graph.connectToNetwork(feats, nodes, edges, 800.0)
+        .select("src", "dst").orderBy("src", "dst")
+    }),
+
     "gr_degree" -> ((s, d) => {
       // degree (features.go:212-219): segments meeting at each node
       val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
@@ -706,6 +717,28 @@ object SparkEntry {
       s"""WITH $gridEdgesCte
          |SELECT src AS node_id, count(*) AS degree FROM e
          |GROUP BY 1 ORDER BY node_id""".stripMargin,
+
+    // -- connect-to-network: nearest-grid-node argmin over the shared
+    //    haversine, both directions of each access edge + the grid --
+    "gr_connect" -> {
+      val nodeVals = graft.operators.Graph.syntheticGridRows(gridN)._1
+        .map { case (id, la, lo) => s"($id, CAST($la AS DOUBLE), CAST($lo AS DOUBLE))" }
+        .mkString(", ")
+      val d = Fixtures.haversineSql("p.lat", "p.lng", "n.nlat", "n.nlng")
+      s"""WITH pts AS (${Fixtures.pointsOracleSql()}), $gridEdgesCte,
+         |nodes AS (SELECT CAST(c0 AS BIGINT) AS node_id, c1 AS nlat, c2 AS nlng
+         |  FROM (VALUES $nodeVals) t(c0, c1, c2)),
+         |near AS (
+         |  SELECT p.point_id + 100000 AS fid, n.node_id, $d AS dist,
+         |    row_number() OVER (PARTITION BY p.point_id ORDER BY $d, n.node_id) AS rn
+         |  FROM pts p CROSS JOIN nodes n WHERE p.point_id % 50 = 0),
+         |acc AS (SELECT fid, node_id FROM near WHERE rn = 1 AND dist <= 800.0)
+         |SELECT src, dst FROM (
+         |  SELECT src, dst FROM e
+         |  UNION ALL SELECT fid AS src, node_id AS dst FROM acc
+         |  UNION ALL SELECT node_id AS src, fid AS dst FROM acc)
+         |ORDER BY src, dst""".stripMargin
+    },
 
     // -- vertex plane: literal polygon rings (closed, like JTS coordinates) --
     "pt_points" -> {

@@ -76,6 +76,43 @@ object Streaming {
     }
   }
 
+  // ---- streaming world mutation ----------------------------------------------
+
+  /** One sequenced tag edit arriving on the changelog stream (the
+    * `changes-to-file` tagEdits layout plus a `seq` for last-writer-wins
+    * ordering across micro-batches). */
+  case class SeqTagEdit(ftype: String, ns: String, value: Long, key: String,
+                        newValue: Option[String], seq: Long)
+  case class FeatureTagState(ftype: String, ns: String, value: Long,
+                             tags: Map[String, String])
+
+  /**
+   * Streaming analogue of the server's transactional change apply
+   * (grpc/service.go:60-67 under a RW lock; here `mapGroupsWithState` keeps
+   * the CURRENT tag map per feature): a continuous stream of tag edits folds
+   * into per-feature state, update-mode output emits each feature's new tag
+   * map as edits arrive. Works identically over a batch Dataset (the spec
+   * asserts batch == streaming on the same edits).
+   */
+  def streamTagState(edits: org.apache.spark.sql.Dataset[SeqTagEdit]):
+      org.apache.spark.sql.Dataset[FeatureTagState] = {
+    import edits.sparkSession.implicits._
+    edits.groupByKey(e => (e.ftype, e.ns, e.value))
+      .mapGroupsWithState[Map[String, String], FeatureTagState](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case ((ftype, ns, value), it, state) =>
+          val cur = state.getOption.getOrElse(Map.empty[String, String])
+          val next = it.toSeq.sortBy(_.seq).foldLeft(cur) { (m, e) =>
+            e.newValue match {
+              case Some(v) => m + (e.key -> v)
+              case None => m - e.key
+            }
+          }
+          state.update(next)
+          FeatureTagState(ftype, ns, value, next)
+      }
+  }
+
   /** Run a streaming query over parquet-backed events into an in-memory table
     * and return the materialised result (local smoke / tests). */
   def runStreamToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {

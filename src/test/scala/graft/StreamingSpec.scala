@@ -11,4 +11,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming tag-state fold applies changelog batches with last-writer-wins across micro-batches") {
+    import spark.implicits._
+    import Streaming.{SeqTagEdit, FeatureTagState}
+    val dir = java.nio.file.Files.createTempDirectory("graft-changes").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-changes-ckpt").toString
+    def writeBatch(name: String, edits: Seq[SeqTagEdit]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("edits", ".json")
+      val lines = edits.map { e =>
+        val nv = e.newValue.map(v => "\"" + v + "\"").getOrElse("null")
+        s"""{"ftype":"${e.ftype}","ns":"${e.ns}","value":${e.value},"key":"${e.key}","newValue":$nv,"seq":${e.seq}}"""
+      }
+      java.nio.file.Files.writeString(tmp, lines.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, s"$name.json"))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ftype string, ns string, value long, key string, newValue string, seq long")
+    val stream = spark.readStream.schema(schema).json(dir)
+      .as[SeqTagEdit]
+    val q = Streaming.streamTagState(stream)
+      .writeStream.outputMode("update").format("memory").queryName("st_world")
+      .option("checkpointLocation", ckpt)
+      .start()
+    writeBatch("b1", Seq(
+      SeqTagEdit("point", "t", 1L, "#amenity", Some("cafe"), 0L),
+      SeqTagEdit("point", "t", 2L, "@name", Some("x"), 1L)))
+    q.processAllAvailable()
+    writeBatch("b2", Seq(
+      SeqTagEdit("point", "t", 1L, "#amenity", Some("bar"), 2L), // overwrite
+      SeqTagEdit("point", "t", 2L, "@name", None, 3L), // removal
+      SeqTagEdit("point", "t", 2L, "#shop", Some("bakery"), 4L)))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode memory sink: the LAST emitted row per feature is current
+    val rows = spark.table("st_world").as[FeatureTagState].collect()
+    val latest = rows.groupBy(r => (r.ftype, r.ns, r.value))
+    val f1 = latest(("point", "t", 1L)).last
+    val f2 = latest(("point", "t", 2L)).last
+    assert(f1.tags == Map("#amenity" -> "bar"))
+    assert(f2.tags == Map("#shop" -> "bakery"), f2.tags.toString)
+    // and the batch fold over the union of edits gives the same final state
+    val allEdits = Seq(
+      SeqTagEdit("point", "t", 1L, "#amenity", Some("cafe"), 0L),
+      SeqTagEdit("point", "t", 2L, "@name", Some("x"), 1L),
+      SeqTagEdit("point", "t", 1L, "#amenity", Some("bar"), 2L),
+      SeqTagEdit("point", "t", 2L, "@name", None, 3L),
+      SeqTagEdit("point", "t", 2L, "#shop", Some("bakery"), 4L)).toDS()
+    val batchState = Streaming.streamTagState(allEdits).collect()
+      .map(r => (r.ftype, r.ns, r.value) -> r.tags).toMap
+    assert(batchState(("point", "t", 1L)) == f1.tags)
+    assert(batchState(("point", "t", 2L)) == f2.tags)
+  }
 }

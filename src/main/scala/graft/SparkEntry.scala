@@ -459,6 +459,16 @@ object SparkEntry {
       "find [#amenity=cafe & @name] | map {f -> get f \"@name\"}")
       .select(col("point_id"), col("value").as("name")).orderBy("point_id")),
 
+    // -- multimodal video: every-3rd-frame sampling; the frame METADATA
+    //    (idx/timestamp/dims) is pure arithmetic over the deterministic
+    //    container params, so the fan-out is fully oracled (pixel bytes are
+    //    pinned by MultimodalSpec against the per-frame generator) --
+    "mm_frames" -> ((s, d) => graft.operators.Multimodal
+      .sampleFrames(graft.operators.Multimodal.videos(s, 200L), everyNth = 3).toDF()
+      .select(col("video_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("t_seconds"), col("w").cast("long").as("w"), col("h").cast("long").as("h"))
+      .orderBy("video_id", "frame_idx")),
+
     // -- multimodal (images decoded once; plumbing real, payload synthetic) --
     "mm_decode" -> ((s, d) => {
       val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
@@ -890,6 +900,19 @@ object SparkEntry {
         |  JOIN embeddings qe ON qe.vec_id = c.qid)
         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
         |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // -- video frame-sampling fan-out from the deterministic container
+    //    params (t = idx/fps in IEEE doubles both sides) --
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT printf('vid-%08d', i) AS video_id,
+        |    32 + (i % 3) * 16 AS w, 32 + (i % 2) * 16 AS h, 8 + (i % 5) AS n_frames
+        |  FROM (SELECT unnest(range(200)) AS i)),
+        |f AS (SELECT video_id, unnest(range(0, n_frames, 3)) AS frame_idx, w, h FROM v)
+        |SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx AS DOUBLE) / 10.0 AS t_seconds,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+        |FROM f ORDER BY video_id, frame_idx""".stripMargin,
 
     // -- banded minhash replayed exactly (Fixtures.minhashLshOracleSql) --
     "td_minhash_pairs" -> Fixtures.minhashLshOracleSql(k = 3, threshold = 0.4),

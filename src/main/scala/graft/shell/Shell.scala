@@ -276,6 +276,8 @@ object Shell {
     "keyed" -> 1, "tagged" -> 2, "and" -> 2, "or" -> 2, "typed" -> 2,
     "count-values" -> 1, "building-access" -> 1, "with-change" -> 1,
     "remove-tag" -> 2, "add-relation" -> 2, "merge-changes" -> 1,
+    "count-keys" -> 1, "sum-by-key" -> 1, "histogram" -> 1,
+    "to-geojson" -> 1, "to-geojson-collection" -> 1,
     "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
     "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
 
@@ -479,6 +481,41 @@ object Shell {
       // engine extension: add-tag over a COLLECTION tags every feature
       case ("add-tag", List(c, TagE(k, v))) =>
         graft.operators.Worlds.addTag(asDf(c), k, lit(v))
+      // collection aggregations (api/functions/collections.go, math.go)
+      case ("count-values", List(c)) =>
+        graft.operators.Aggs.countValues(asDf(c), "value")
+      case ("count-keys", List(c)) =>
+        graft.operators.Aggs.countKeys(asDf(c), "key")
+      case ("sum-by-key", List(c)) =>
+        graft.operators.Aggs.sumByKey(asDf(c), "key", "value")
+      case ("histogram", List(c)) =>
+        // numeric values -> uniform buckets; strings -> categorical
+        // (api/histogram.go:245-300 dispatch)
+        val df = asDf(c)
+        val vt = df.schema("value").dataType
+        if (vt == org.apache.spark.sql.types.StringType)
+          graft.operators.Aggs.histogramCategorical(df, "value")
+        else graft.operators.Aggs.histogramUniform(df, "value")
+      case ("top", List(c, n)) =>
+        graft.operators.Aggs.top(asDf(c), "value", num(n).toInt, "value")
+      // to-geojson(-collection) (api/functions/geojson.go:18-48)
+      case ("to-geojson", List(c)) =>
+        val df = asDf(c)
+        val toJson = udf { (wkb: Array[Byte], tags: Map[String, String]) =>
+          graft.sources.GeoJson.featureToJson(graft.core.GeoOps.fromWkb(wkb),
+            Option(tags).getOrElse(Map.empty))
+        }
+        df.withColumn("geojson", toJson(col("geom"), col("tags")))
+      case ("to-geojson-collection", List(c)) =>
+        val df = asDf(c)
+        val toJson = udf { (wkb: Array[Byte], tags: Map[String, String]) =>
+          graft.sources.GeoJson.featureToJson(graft.core.GeoOps.fromWkb(wkb),
+            Option(tags).getOrElse(Map.empty))
+        }
+        // tiny by contract (a rendered FeatureCollection string comes back)
+        graft.sources.GeoJson.featureCollection(
+          df.withColumn("__j", toJson(col("geom"), col("tags")))
+            .select("__j").collect().map(_.getString(0)).toSeq)
       case ("collection", pairs) => pairs.map {
         case (k, v) => (k, v)
         case p => p

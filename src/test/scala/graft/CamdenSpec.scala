@@ -27,6 +27,16 @@ class CamdenSpec extends SparkSuite {
     assert(got.size > 1000, s"camden 1km cap should contain thousands of buildings, got ${got.size}")
   }
 
+  test("camden: the reference's own benchmark query runs VERBATIM-shaped through the shell") {
+    // BenchmarkSearchWorld (ingest/compact/world_test.go:241-254):
+    // Keyed(#building) AND IntersectsCap(51.5305,-0.1232,1km)
+    val viaShell = graft.shell.Shell.run(world,
+      "find (and [#building] (intersecting-cap 51.5305, -0.1232 1000.0)) | count")
+    val direct = QueryPlanner.find(world,
+      And(Seq(Keyed("#building"), IntersectsCap(51.5305, -0.1232, 1000.0)))).count()
+    assert(viaShell == direct, s"shell=$viaShell direct=$direct")
+  }
+
   test("camden: typed area + cap query equals brute force on centroids") {
     import spark.implicits._
     val squareCap = IntersectsCap(51.5353, -0.1258, 250.0)

@@ -193,6 +193,20 @@ class ShellSpec extends SparkSuite {
       Shell.run(world, "find [#building] | count"))
   }
 
+  test("eval: count-values/histogram/to-geojson over mapped collections") {
+    val cv = Shell.runDf(world,
+      "find [#amenity] | map {f -> tag f \"#amenity\"} | count-values")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cv("bicycle_parking") == 11L) // golden count via the shell
+    val hist = Shell.runDf(world,
+      "find [#amenity] | map {f -> tag f \"#amenity\"} | histogram")
+    assert(hist.columns.contains("bucket") && hist.count() > 0)
+    val gj = Shell.run(world,
+      "find-areas [#building] | take 2 | to-geojson-collection").asInstanceOf[String]
+    assert(gj.startsWith("""{"type":"FeatureCollection""""))
+    assert(gj.contains("\"Polygon\""))
+  }
+
   test("eval: scalar add/divide follow b6 int semantics") {
     assert(Shell.run(world, "add 2 3") == 5L)
     assert(Shell.run(world, "divide 7 2") == 3L) // int/int = int (math.go:16)

@@ -278,6 +278,7 @@ object Shell {
     "remove-tag" -> 2, "add-relation" -> 2, "merge-changes" -> 1,
     "count-keys" -> 1, "sum-by-key" -> 1, "histogram" -> 1,
     "to-geojson" -> 1, "to-geojson-collection" -> 1,
+    "accessible-all" -> 2, "closest" -> 3,
     "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
     "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
 
@@ -391,12 +392,26 @@ object Shell {
    * runs inside the scan, never per-row on the driver.
    */
   def run(world: DataFrame, expression: String): Any =
-    eval(world, simplify(parse(expression)))
+    eval(Env(world, None), simplify(parse(expression)))
+
+  /** Evaluate with a street-network edge table in scope, enabling the graph
+    * operators (accessible-all / closest) over the world. */
+  def run(world: DataFrame, network: DataFrame, expression: String): Any =
+    eval(Env(world, Some(network)), simplify(parse(expression)))
+
+  /** The evaluation environment: the world plus an optional derived street
+    * network (the reference's graph functions get it from the world
+    * implicitly; here network derivation is an explicit ingest step —
+    * OsmWorld.networkEdges — passed alongside). */
+  case class Env(world: DataFrame, network: Option[DataFrame])
 
   def runDf(world: DataFrame, expression: String): DataFrame =
     run(world, expression).asInstanceOf[DataFrame]
 
-  private def eval(world: DataFrame, e: Expr): Any = e match {
+  def runDf(world: DataFrame, network: DataFrame, expression: String): DataFrame =
+    run(world, network, expression).asInstanceOf[DataFrame]
+
+  private def eval(env: Env, e: Expr): Any = e match {
     case IntE(v) => v
     case FloatE(v) => v
     case StringE(v) => v
@@ -406,7 +421,7 @@ object Shell {
     case fid: FeatureIdE => fid
     case l: LambdaE => l
     case s: SymbolE => s // bare function reference
-    case CallE(fn, args, _) => apply(world, fn, args.map(a => eval(world, a)))
+    case CallE(fn, args, _) => apply(env, fn, args.map(a => eval(env, a)))
   }
 
   private def asQuery(v: Any): Query = v match {
@@ -425,7 +440,9 @@ object Shell {
     case other => throw ShellException(s"not a collection: $other")
   }
 
-  private def apply(world: DataFrame, fn: Expr, args: List[Any]): Any = fn match {
+  private def apply(env: Env, fn: Expr, args: List[Any]): Any = {
+    val world = env.world
+    fn match {
     case LambdaE(params, body) =>
       // applying a feature lambda to a DataFrame = compiling it to a Column
       throw ShellException("lambda application outside map/filter not supported")
@@ -474,7 +491,7 @@ object Shell {
       case ("with-change", List(l: LambdaE)) if l.args.isEmpty =>
         // evaluate the change-producing body now; the caller (the evaluation
         // boundary) applies the resulting ChangeSet transactionally
-        eval(world, l.body) match {
+        eval(env, l.body) match {
           case c: graft.operators.Changes.ChangeSet => c
           case other => throw ShellException(s"with-change body must produce a change, got $other")
         }
@@ -526,12 +543,28 @@ object Shell {
       case ("divide", List(a: Long, b: Long)) => a / b // truncating, like the reference
       case ("divide", List(a, b)) => num(a) / num(b)
       case ("to-str", List(v)) => v.toString
+      // graph plane over the world-derived street network (api/functions/
+      // graph.go:185-245; network derivation = OsmWorld.networkEdges, passed
+      // via Shell.run(world, network, expr) — the reference gets it from the
+      // world implicitly, an engine-side ingest step here)
+      case ("accessible-all", List(c, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        graft.operators.Graph.reachable(requireNetwork(env), origins, num(m))
+      case ("closest", List(c, t, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        val targets = asDf(t).select(col("id.value").as("target"))
+        graft.operators.Graph.closest(requireNetwork(env), origins, targets, num(m))
       case _ if argCounts.get(name).exists(_ > args.length) => Partial(name, args)
       case _ => throw ShellException(
         s"unknown function or bad arguments: $name(${args.mkString(", ")})")
     }
     case other => throw ShellException(s"not callable: $other")
   }
+  }
+
+  private def requireNetwork(env: Env): DataFrame =
+    env.network.getOrElse(throw ShellException(
+      "graph functions need a street network: use Shell.run(world, network, expression)"))
 
   private def num(v: Any): Double = v match {
     case d: Double => d

@@ -207,6 +207,31 @@ class ShellSpec extends SparkSuite {
     assert(gj.contains("\"Polygon\""))
   }
 
+  test("eval: accessible-all over the world-derived street network equals Graph.reachable") {
+    import spark.implicits._
+    val network = OsmWorld.networkEdges(spark,
+      "/root/reference/data/tests/granary-square.osm.pbf").cache()
+    val netNodes = network.select("src").as[Long].collect().toSet
+    // pick a tagged-point query whose features are network vertices
+    val candidates = Seq("#highway=crossing", "#barrier=gate", "#highway=bus_stop",
+      "#amenity=bicycle_parking")
+    val chosen = candidates.find { t =>
+      val Array(k, v) = t.split("=")
+      QueryPlanner.find(world, TypedQ("point", Tagged(k, v)))
+        .select("id.value").as[Long].collect().exists(netNodes.contains)
+    }
+    assert(chosen.nonEmpty, "no tagged network-vertex features in granary?")
+    val Array(k, v) = chosen.get.split("=")
+    val viaShell = Shell.runDf(world, network,
+      s"""find (typed "point" (tagged "$k" "$v")) | accessible-all 300.0""")
+      .select("origin", "node").as[(Long, Long)].collect().toSet
+    val origins = QueryPlanner.find(world, TypedQ("point", Tagged(k, v)))
+      .select(org.apache.spark.sql.functions.col("id.value").as("origin"))
+    val direct = graft.operators.Graph.reachable(network, origins, 300.0)
+      .select("origin", "node").as[(Long, Long)].collect().toSet
+    assert(viaShell == direct && direct.nonEmpty, s"shell=${viaShell.size} direct=${direct.size}")
+  }
+
   test("eval: scalar add/divide follow b6 int semantics") {
     assert(Shell.run(world, "add 2 3") == 5L)
     assert(Shell.run(world, "divide 7 2") == 3L) // int/int = int (math.go:16)

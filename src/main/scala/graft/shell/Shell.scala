@@ -278,7 +278,7 @@ object Shell {
     "remove-tag" -> 2, "add-relation" -> 2, "merge-changes" -> 1,
     "count-keys" -> 1, "sum-by-key" -> 1, "histogram" -> 1,
     "to-geojson" -> 1, "to-geojson-collection" -> 1,
-    "accessible-all" -> 2, "closest" -> 3,
+    "accessible-all" -> 2, "closest" -> 3, "evaluate-feature" -> 1,
     "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
     "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
 
@@ -543,6 +543,17 @@ object Shell {
       case ("divide", List(a: Long, b: Long)) => a / b // truncating, like the reference
       case ("divide", List(a, b)) => num(a) / num(b)
       case ("to-str", List(v)) => v.toString
+      // evaluate-feature (api/functions/features.go:530-537): the expression
+      // feature's stored `expression` tag IS a shell string here — stored
+      // plans round-trip through the same parser and run against the
+      // current world
+      case ("evaluate-feature", List(FeatureIdE(t, ns, v))) =>
+        val row = world.where(col("id.ftype") === t && col("id.ns") === ns &&
+            col("id.value") === v)
+          .select(col("tags").getItem("expression")).collect()
+        if (row.isEmpty || row.head.isNullAt(0))
+          throw ShellException(s"no expression feature /$t/$ns/$v")
+        eval(env, simplify(parse(row.head.getString(0))))
       // graph plane over the world-derived street network (api/functions/
       // graph.go:185-245; network derivation = OsmWorld.networkEdges, passed
       // via Shell.run(world, network, expr) — the reference gets it from the

@@ -70,6 +70,16 @@ class EvaluateServiceSpec extends SparkSuite {
     assert(base.json == "0")
   }
 
+  test("stored expression features run through evaluate-feature against the scenario world") {
+    val scenario = WorldId("collection", "graft/eval", 11L)
+    reg.applyChange(scenario, Changes.addExpression("graft/expr", 42L,
+      Map("b6" -> "expression"), "find [#amenity=bicycle_parking] | count"))
+    val r = EvaluateService.evaluate(reg,
+      "evaluate-feature /expression/graft/expr/42",
+      Some("/collection/graft/eval/11"), "1")
+    assert(r.kind == "long" && r.json == "11", r.toString)
+  }
+
   test("HTTP POST /evaluate round-trips JSON") {
     val server = EvaluateService.serve(reg)
     try {

@@ -61,7 +61,7 @@ object Aggs {
     import spark.implicits._
     val parts = counts.repartitionByRange(numParts, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     val local = parts
       .withColumn("__lr", row_number().over(w).cast("long"))

@@ -95,7 +95,7 @@ object Ann {
       out
     }
     val base = data.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val d = base
       .withColumn("__bs", buckets(col("__v")))
       .select(col("__id"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))

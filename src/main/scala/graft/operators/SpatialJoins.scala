@@ -106,22 +106,34 @@ object SpatialJoins {
     val pCellAtLevel = cell_parent_at(col(pointCell), lit(level))
     val pts = points.withColumn("__pc", pCellAtLevel)
 
-    // Ring-loop scale shape: the accumulated candidate set is
-    // localCheckpoint()ed every ring, so ring r's job computes ONLY its new
-    // annulus join (one probe-table scan) plus a cheap read of materialized
-    // partitions — without the checkpoint, ring r re-executed all r-1 prior
-    // probe joins and doubling the rings was quadratic work. Sites whose
-    // guarantee already holds are SETTLED: their top-k rows move to the
-    // result, their candidates leave the loop, and later annuli are built
-    // from the remaining `active` sites only.
+    // Ring-loop scale shape — EXACTLY ONE Spark action per ring. Each ring's
+    // NEW annulus joins against the big side once and is lazily
+    // localCheckpoint()ed; the accumulated candidate set is a union of those
+    // materialized deltas (references, never rewritten). The single per-ring
+    // collect (a) forces the lazy delta checkpoint and (b) returns the top-k
+    // ROWS of every site whose exactness guarantee now holds — sites are the
+    // small side by contract, so settled rows (<= k per site) live on the
+    // driver. Active sites are tracked as driver rows of the small site table
+    // and re-enter each ring as a broadcast LocalRelation: no `isin` literal
+    // lists, no per-ring rewrite of the accumulated set, no separate
+    // guarantee job.
+    val siteSchema = sites.schema
+    var active: Array[org.apache.spark.sql.Row] = sites.collect()
+    // result schema of the loop below (points + site cols + __dist + rank,
+    // join keys dropped), derivable without running a job — covers the
+    // zero-sites case where the loop never executes
+    val emptySchema = pts.limit(0)
+      .join(sites.limit(0).withColumn("__sc", lit(0L)), col("__pc") === col("__sc"))
+      .withColumn("__dist", lit(0.0)).withColumn("rank", lit(1))
+      .drop("__pc", "__sc").schema
     var ring = 1 // disk radius of the CURRENT candidate set
     var prevRing = 0 // radius already scanned (annulus growth, not rescans)
-    var done = false
-    var active = sites
-    var activeCount = sites.count() // invariant per iteration — one tiny job
-    var cand: DataFrame = null
-    var settled: DataFrame = null
-    while (!done) {
+    var deltas: List[DataFrame] = Nil
+    val settledRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var resultSchema: org.apache.spark.sql.types.StructType = emptySchema
+    while (active.nonEmpty) {
+      val activeDf = spark.createDataFrame(
+        java.util.Arrays.asList(active: _*), siteSchema)
       // only the NEW annulus of cells joins against the big side; earlier
       // rings' candidates are accumulated, so each doubling scans the probe
       // table once for the delta instead of re-scanning the whole disk
@@ -130,12 +142,17 @@ object SpatialJoins {
         if (prevRing == 0) cell_neighbor_disk(siteCell, lit(ring))
         else array_except(cell_neighbor_disk(siteCell, lit(ring)),
           cell_neighbor_disk(siteCell, lit(prevRing)))
-      val siteCells = active.withColumn("__sc", explode(annulus))
+      val siteCells = activeDf.withColumn("__sc", explode(annulus))
       val delta = pts.join(broadcast(siteCells), col("__pc") === col("__sc"))
         .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
-      cand = (if (cand == null) delta else cand.unionByName(delta)).localCheckpoint()
+        .localCheckpoint(eager = false) // materializes inside this ring's collect
+      deltas ::= delta
+      // accumulated candidates, filtered to the still-active sites by a
+      // broadcast semi-join (earlier deltas still hold settled sites' rows)
+      val cand = deltas.reduceLeft(_ unionByName _)
+        .join(broadcast(activeDf.select(col("site_id"))), Seq("site_id"), "left_semi")
       val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
-      val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      val wSite = Window.partitionBy(col("site_id"))
       // guarantee: any point outside disk `ring` is >= ring * minCellDim away.
       // The longitudinal cell width must be evaluated at the DISK'S EXTREME
       // latitude (|site lat| + (ring+1) cells, clamped to the pole) — a fixed
@@ -143,40 +160,32 @@ object SpatialJoins {
       // where the cells at the disk edge are materially narrower. The 0.99
       // covers the sin(dLng/2) curvature of the haversine lower bound.
       val extremeLat = least(lit(90.0),
-        abs(col("slat")) + lit((ring + 1).toDouble * degPerCell))
-      val guarantees = top.groupBy(col("site_id"))
-        .agg(max(col("__dist")).as("kth"), count(lit(1)).as("n"), first(col(siteLat)).as("slat"))
-        .withColumn("minDim", least(
-          lit(degPerCell * metersPerDegLat),
-          cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat)))
-        .withColumn("ok", col("n") === k &&
-          col("kth") <= lit(ring.toDouble) * col("minDim"))
-      // sites are the SMALL side by contract: the settled ids fit the driver
-      val okIds = guarantees.where(col("ok")).select(col("site_id")).collect().map(_.get(0))
+        abs(col(siteLat)) + lit((ring + 1).toDouble * degPerCell))
+      val minDim = least(
+        lit(degPerCell * metersPerDegLat),
+        cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat))
       val gridExhausted = ring >= (1L << level)
-      val finished =
-        if (gridExhausted) top
-        else if (okIds.isEmpty) null
-        else top.where(col("site_id").isin(okIds: _*))
-      if (finished != null) {
-        // settled rows are <= k per site — tiny; checkpoint keeps the final
-        // union free of the whole ring-loop lineage
-        settled = (if (settled == null) finished
-                   else settled.unionByName(finished)).localCheckpoint()
-      }
-      activeCount -= (if (gridExhausted) activeCount else okIds.length)
-      if (activeCount == 0) {
-        done = true
-      } else {
-        if (okIds.nonEmpty) {
-          active = active.where(!col("site_id").isin(okIds: _*))
-          cand = cand.where(!col("site_id").isin(okIds: _*))
-        }
-        prevRing = ring
-        ring *= 2
-      }
+      val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .withColumn("__ok",
+          if (gridExhausted) lit(true)
+          else count(lit(1)).over(wSite) === k &&
+            max(col("__dist")).over(wSite) <= lit(ring.toDouble) * minDim)
+      val finished = top.where(col("__ok")).drop("__ok", "__pc", "__sc")
+      // THE per-ring action: materializes this ring's delta checkpoint and
+      // brings home the rows of every site that settled this ring
+      val rows = finished.collect()
+      resultSchema = finished.schema
+      settledRows ++= rows
+      val settledIds = rows.iterator.map(_.getAs[Any]("site_id")).toSet
+      val siteIdIdx = siteSchema.fieldIndex("site_id")
+      active =
+        if (gridExhausted) Array.empty
+        else active.filterNot(r => settledIds.contains(r.get(siteIdIdx)))
+      prevRing = ring
+      ring *= 2
     }
-    settled.drop("__pc", "__sc")
+    spark.createDataFrame(
+      java.util.Arrays.asList(settledRows.toSeq: _*), resultSchema)
   }
 
   /**

@@ -168,7 +168,7 @@ object TextOps {
     // wide arrays through the band shuffle would dominate the exchange. The
     // join moves only (id, band_hash); shingles re-attach by id afterwards.
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val bandHashes = udf { (sh: Seq[String]) =>
       val sig = minhashSig(sh, numHashes)
       Array.tabulate(bands) { b =>
@@ -263,7 +263,7 @@ object TextOps {
     // inverted index moves only (shingle-hash, id); shingle sets re-attach by
     // id for the exact verify (same shuffle discipline as dedupMinhashLsh)
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val inverted0 = withSh.select(col("__id"), explode(col("__sh")).as("s"))
       .select(col("__id"), xxhash64(col("s")).as("sh"))
     // global document frequency per shingle (one partial-agg shuffle) joins

@@ -210,14 +210,19 @@ object Mvt {
                   fidCol: String = "fid", layerCol: String = "layer",
                   geomCol: String = "geom", tagsCol: String = "tags",
                   sortRankCol: Option[String] = None,
-                  layerOrder: Seq[String] = Nil): DataFrame = {
+                  layerOrder: Seq[String] = Nil,
+                  tileCol: Option[String] = None): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     graft.functions.CellExprs.install(spark)
     val rank = layerOrder.zipWithIndex.toMap
     val rankCol = sortRankCol.map(col).getOrElse(lit(0))
-    val assigned = features
-      .withColumn("__tile", explode(graft.functions.CellExprs.tile_cover(col(geomCol), lit(zoom))))
+    // callers that already exploded the cover (e.g. the capped renderers)
+    // pass their tile column; re-exploding pre-assigned rows would duplicate
+    // a multi-tile feature inside every tile it covers
+    val assigned = tileCol.map(tc => features.withColumn("__tile", col(tc)))
+      .getOrElse(features.withColumn("__tile",
+        explode(graft.functions.CellExprs.tile_cover(col(geomCol), lit(zoom)))))
       .select(col("__tile"), col(fidCol).as("fid"), col(layerCol).as("layer"),
         col(geomCol).as("geom"), col(tagsCol).as("tags"), rankCol.cast("int").as("srank"))
       .as[(Long, Long, String, Array[Byte], Map[String, String], Int)]

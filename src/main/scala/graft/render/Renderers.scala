@@ -154,21 +154,35 @@ object Renderers {
   }
 
   /** Shared tail: explode tile cover, cap per tile by feature id, MVT-encode.
-    * The cap happens BEFORE encoding (a Window over the tile) so no task
-    * materialises more than MaxFeaturesPerTile geometries per tile. */
+    * The cap happens BEFORE encoding and in TWO stages, so no single task
+    * ever sorts an uncapped tile (the reference cap is a streaming counter,
+    * renderer/query.go:112-114; a plain per-tile Window funnels the whole
+    * world through one task at low zoom): stage 1 ranks (tile, salt) groups —
+    * the hot tile spreads over `salts` reducers — and keeps the cap smallest
+    * fids of each group, a provable superset of the tile's global top-cap;
+    * stage 2 ranks the <= cap x salts survivors per tile. The salt is a
+    * deterministic fid hash (stable under task retries, unlike
+    * spark_partition_id). */
   private def renderCapped(features: DataFrame, zoom: Int, layer: String): DataFrame = {
     val spark = features.sparkSession
     graft.functions.CellExprs.install(spark)
+    val salts = spark.sessionState.conf.numShufflePartitions
     val covered = features
       .withColumn("__tile", explode(graft.functions.CellExprs.tile_cover(col("geom"), lit(zoom))))
+      .withColumn("__salt", pmod(hash(col("__fid")), lit(salts)))
+    val wLocal = Window.partitionBy("__tile", "__salt").orderBy(col("__fid"))
+    val pre = covered
+      .withColumn("__lrank", row_number().over(wLocal))
+      .where(col("__lrank") <= MaxFeaturesPerTile)
     val wTile = Window.partitionBy("__tile").orderBy(col("__fid"))
-    val capped = covered
+    val capped = pre
       .withColumn("__rank", row_number().over(wTile))
       .where(col("__rank") <= MaxFeaturesPerTile)
     Mvt.renderTiles(
-      capped.select(col("__fid").as("fid"), lit(layer).as("layer"),
+      capped.select(col("__tile"), col("__fid").as("fid"), lit(layer).as("layer"),
         col("geom"), col("__rtags").as("tags")),
-      zoom, fidCol = "fid", layerCol = "layer", geomCol = "geom", tagsCol = "tags")
+      zoom, fidCol = "fid", layerCol = "layer", geomCol = "geom", tagsCol = "tags",
+      tileCol = Some("__tile"))
   }
 
   /**

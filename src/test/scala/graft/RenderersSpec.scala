@@ -108,6 +108,60 @@ class RenderersSpec extends SparkSuite {
       s"expected the hot tile capped at 10000, got ${counts.toSeq}")
   }
 
+  test("renderCapped: low-zoom tiles never funnel through one task (salted two-stage cap)") {
+    // z=2: ONE tile covers the whole fixture region. The r3 implementation
+    // ranked all of a tile's features in a single Window task; the two-stage
+    // cap must rank (tile, salt) groups first and only then the bounded
+    // survivors (reference cap is a streaming counter, renderer/query.go:112-114).
+    graft.functions.CellExprs.install(spark)
+    val wkbPoint = udf((lat: Double, lng: Double) =>
+      graft.core.GeoOps.toWkb(graft.core.GeoOps.point(lat, lng)))
+    val many = spark.range(100000).select(
+      struct(lit("point").as("ftype"), lit("graft/cap").as("ns"), col("id").as("value")).as("id"),
+      map(lit("#amenity"), lit("bench")).as("tags"),
+      (lit(51.5) + col("id") / 1e7).as("lat"), (lit(-0.2) + col("id") / 1e7).as("lng"))
+      .withColumn("geom", wkbPoint(col("lat"), col("lng")))
+      .withColumn("cell16", graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .withColumn("covering", graft.functions.CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
+    val reg = new WorldRegistry(spark, World(many, emptyRefs, emptyItems))
+    val df = Renderers.queryTiles(reg, DefaultWorldId, 2, "[#amenity=bench]")
+    // structural guarantee: a Window clustered by (__tile, __salt) feeds the
+    // per-tile rank, so no Window partitioned by the tile alone ever sees an
+    // uncapped tile
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(windows.exists(ps => ps.exists(_.contains("__tile")) && ps.exists(_.contains("__salt"))),
+      s"expected a (tile, salt) pre-rank window, got $windows")
+    val tiles = df.collect()
+    assert(tiles.nonEmpty)
+    val counts = tiles.map(r => countFeatures(r.getAs[Array[Byte]]("mvt")))
+    assert(counts.max == Renderers.MaxFeaturesPerTile,
+      s"expected the z2 tile capped at 10000, got ${counts.toSeq}")
+  }
+
+  test("a feature spanning several tiles renders once per tile (no re-explode duplication)") {
+    graft.functions.CellExprs.install(spark)
+    // one polygon straddling a z14 tile boundary -> covers >= 2 tiles
+    val wkb = graft.core.GeoOps.toWkb(graft.core.GeoOps.fromWkt(
+      "POLYGON ((-0.14 51.50, -0.08 51.50, -0.08 51.54, -0.14 51.54, -0.14 51.50))"))
+    val one = spark.range(1).select(
+      struct(lit("area").as("ftype"), lit("graft/dup").as("ns"), col("id").as("value")).as("id"),
+      map(lit("#amenity"), lit("park")).as("tags"),
+      lit(51.52).as("lat"), lit(-0.11).as("lng"))
+      .withColumn("geom", lit(wkb))
+      .withColumn("cell16", graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
+      .withColumn("covering", graft.functions.CellExprs.cell_covering(col("geom"), lit(16), lit(64)))
+    val reg = new WorldRegistry(spark, World(one, emptyRefs, emptyItems))
+    val tiles = Renderers.queryTiles(reg, DefaultWorldId, 14, "[#amenity=park]").collect()
+    assert(tiles.length >= 2, "polygon should cover several z14 tiles")
+    tiles.foreach { r =>
+      assert(countFeatures(r.getAs[Array[Byte]]("mvt")) == 1,
+        s"tile (${r.getAs[Long]("x")},${r.getAs[Long]("y")}) duplicated the feature")
+    }
+  }
+
   test("queryTiles evaluates the per-feature value expression into the v attribute") {
     val reg = new WorldRegistry(spark, baseWorld)
     val tiles = Renderers.queryTiles(reg, DefaultWorldId, 16,

@@ -210,6 +210,19 @@ object SparkEntry {
         .select("qid", "rank", "neighbor_id").orderBy("qid", "rank")
     }),
 
+    "ann_ivf_trained" -> ((s, d) => {
+      // the TRAINED path: centroids from deterministic Lloyd's k-means over
+      // the driver-side sample (build artifact, like an index). The oracle
+      // (oracleSqlDynamic) embeds these centroids as driver-computed DOUBLE
+      // literals — the geo_scalar trick — so search replays bit-exactly.
+      val e = t(s, d, "embeddings")
+      val cents = trainedIvfCentroids(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosineIvf(e, q, 5, cents, nProbe = 3)
+        .select("qid", "rank", "neighbor_id").orderBy("qid", "rank")
+    }),
+
     "ann_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val dupes = e.where(col("vec_id") < 10)
@@ -333,6 +346,37 @@ object SparkEntry {
       graft.render.RenderRules.basemapTiles(feats, 14)
         .select(col("z"), col("x"), col("y"), length(col("mvt")).as("n_bytes"))
         .orderBy("z", "x", "y")
+    }),
+    "rd_assign" -> ((s, d) => {
+      // the tile-ASSIGNMENT half of the basemap pipeline, fully oracled
+      // (Mercator cover tiles.go:259-343 + zoom gate renderer.go:117-127 +
+      // first-match layer renderer.go:253-263): at z13 the #amenity (min 12)
+      // and #highway=primary (min 8) rules are active; #highway=footway
+      // (min 14) and #place=city (max 12) are not. Byte-level encode stays
+      // covered by RenderSpec/RenderRulesSpec.
+      val tags = when(col("point_id") % 4 === 0, map(lit("#amenity"), lit("cafe")))
+        .when(col("point_id") % 4 === 1, map(lit("#highway"), lit("footway")))
+        .when(col("point_id") % 4 === 2, map(lit("#highway"), lit("primary")))
+        .otherwise(map(lit("#place"), lit("city")))
+      val world = Fixtures.points(s, d).withColumn("tags", tags)
+      val in = world.where(graft.render.RenderRules.zoomPredicate(13, col("tags")))
+        .withColumn("layer", graft.render.RenderRules.layerColumn(col("tags")))
+      SpatialJoins.tileAssignment(in, 13)
+        .groupBy(col("tile_xx").as("tx"), col("tile_yy").as("ty"), col("layer"))
+        .agg(count(lit(1)).as("n")).orderBy("tx", "ty", "layer")
+    }),
+    "sl_rays" -> ((s, d) => {
+      // per-ray occlusion parameters in degree space over the literal
+      // fixture edges — the sightline sweep's segment-intersection core,
+      // rational arithmetic only (Sightline.rayOcclusions scaladoc)
+      import s.implicits._
+      val origins = Fixtures.points(s, d).where(col("point_id") % 5000 === 0)
+        .select(col("point_id").as("origin_id"), col("lng").as("px"), col("lat").as("py"))
+      val dirs = graft.operators.Sightline.rationalDirections.toDF("ray_idx", "ex", "ey")
+      val edges = sightlineEdges.toDF("ax", "ay", "bx", "by")
+      graft.operators.Sightline.rayOcclusions(origins, dirs, edges)
+        .select(col("origin_id"), col("ray_idx").cast("long").as("ray_idx"), col("occlusion"))
+        .orderBy("origin_id", "ray_idx")
     }),
     "sl_sightline" -> ((s, d) => {
       val origins = Fixtures.points(s, d).where(col("point_id") % 5000 === 0)
@@ -486,6 +530,15 @@ object SparkEntry {
 
   /** Shared street-grid size for the gr_* queries and their oracles. */
   private val gridN = 12
+
+  /** Closed-ring edges of the convex fixture polygons — the sl_rays occluder
+    * segments, shared verbatim with the oracle's VALUES literals. */
+  private lazy val sightlineEdges: Seq[(Double, Double, Double, Double)] =
+    Fixtures.convexPolygons.flatMap { case (_, _, ring) =>
+      (ring :+ ring.head).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) => (x1, y1, x2, y2)
+      }
+    }
 
   /** The grid's (undirected) edges as a DuckDB VALUES CTE — the SAME
     * driver-computed doubles the Spark grid uses, so path sums (pure `+`)
@@ -917,10 +970,105 @@ object SparkEntry {
     // -- banded minhash replayed exactly (Fixtures.minhashLshOracleSql) --
     "td_minhash_pairs" -> Fixtures.minhashLshOracleSql(k = 3, threshold = 0.4),
 
+    // -- basemap tile assignment: Mercator floor + rule gate + layer CASE --
+    "rd_assign" ->
+      s"""$ptsCte SELECT
+         |  CAST(floor((p.lng + 180.0) / 360.0 * 8192.0) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(radians(p.lat)) + sqrt(tan(radians(p.lat)) * tan(radians(p.lat)) + 1.0)) / pi()) / 2.0 * 8192.0) AS BIGINT) AS ty,
+         |  CASE WHEN p.point_id % 4 = 0 THEN 'amenity' ELSE 'road' END AS layer,
+         |  count(*) AS n
+         |FROM pts p WHERE p.point_id % 4 IN (0, 2)
+         |GROUP BY 1, 2, 3 ORDER BY tx, ty, layer""".stripMargin,
+
+    // -- sightline ray cast: the 2x2 segment-intersection solve over literal
+    //    rational directions and fixture edges, +,-,*,/ only --
+    "sl_rays" -> {
+      import Fixtures.dblE
+      val dirVals = graft.operators.Sightline.rationalDirections
+        .map { case (i, ex, ey) => s"($i, ${dblE(ex)}, ${dblE(ey)})" }
+        .mkString(", ")
+      val edgeVals = sightlineEdges
+        .map { case (ax, ay, bx, by) =>
+          s"(${dblE(ax)}, ${dblE(ay)}, ${dblE(bx)}, ${dblE(by)})" }
+        .mkString(", ")
+      val denomS = "nullif(d.ex * (e.by - e.ay) - d.ey * (e.bx - e.ax), 0.0)"
+      val tS = s"(((e.ax - p.lng) * (e.by - e.ay) - (e.ay - p.lat) * (e.bx - e.ax)) / $denomS)"
+      val uS = s"(((e.ax - p.lng) * d.ey - (e.ay - p.lat) * d.ex) / $denomS)"
+      s"""$ptsCte,
+         |dirs AS (SELECT CAST(c0 AS BIGINT) AS ray_idx, c1 AS ex, c2 AS ey
+         |  FROM (VALUES $dirVals) t(c0, c1, c2)),
+         |edges AS (SELECT c0 AS ax, c1 AS ay, c2 AS bx, c3 AS by
+         |  FROM (VALUES $edgeVals) t(c0, c1, c2, c3)),
+         |cast0 AS (
+         |  SELECT p.point_id AS origin_id, d.ray_idx,
+         |    CASE WHEN $tS > 0.0 AND $tS <= 1.0
+         |      AND $uS >= 0.0 AND $uS <= 1.0 THEN $tS END AS t
+         |  FROM pts p CROSS JOIN dirs d CROSS JOIN edges e
+         |  WHERE p.point_id % 5000 = 0)
+         |SELECT origin_id, ray_idx, coalesce(min(t), CAST(1.0 AS DOUBLE)) AS occlusion
+         |FROM cast0 GROUP BY 1, 2 ORDER BY origin_id, ray_idx""".stripMargin
+    },
+
     // geo_hull: convex hulls are not ANSI-SQL-expressible without an O(n^3)
     // half-plane scan — rows-only; exactness covered by the ScalaTest oracle.
-    // mm_decode / rd_mvt / rd_basemap / sl_sightline: rows-only (binary
-    // image decode / protobuf tile bytes / trig occlusion are not SQL) —
-    // exactness is covered by the ScalaTest wire-level and golden oracles.
+    // mm_decode / rd_mvt / rd_basemap / sl_sightline: rows-only (binary image
+    // decode / protobuf tile bytes / the trig-angle visibility polygon are
+    // not SQL) — exactness covered by the ScalaTest wire-level and golden
+    // oracles, and their SQL-expressible halves are oracled separately:
+    // rd_assign (tile assignment + rule gate + layer pick) and sl_rays (the
+    // per-ray occlusion core).
   )
+
+  /** Shared trained-IVF codebook for the ann_ivf_trained query and its
+    * oracle: deterministic Lloyd's over the first 256 vectors (ordered by
+    * vec_id), 8 lists, 3 iterations. */
+  private def trainedIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    Ann.trainIvfCentroids(t(s, d, "embeddings"), nLists = 8, iters = 3, sampleN = 256)
+
+  /**
+   * Oracles whose SQL embeds DRIVER-COMPUTED literals derived from the data
+   * at `sfDir` (the geo_scalar trick, but data-dependent): built by Verify —
+   * which has the session and the scale factor in hand — and dumped into the
+   * same oracle_sql.json the driver replays in DuckDB. Double literals use
+   * java.lang.Double.toString (shortest round-trip form), so DuckDB parses
+   * back the identical IEEE bits.
+   */
+  def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val cents = trainedIvfCentroids(spark, sfDir)
+    val centValues = cents.zipWithIndex.map { case (c, l) =>
+      s"($l, CAST(${c.map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(", ")
+    Map(
+      "ann_ivf_trained" ->
+        s"""WITH cents AS (
+           |  SELECT CAST(c0 AS BIGINT) AS list, c1 AS c
+           |  FROM (VALUES $centValues) t(c0, c1)),
+           |cosines AS (
+           |  SELECT e.vec_id, ct.list,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), ct.c) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(ct.c, ct.c))) AS cos
+           |  FROM embeddings e CROSS JOIN cents ct),
+           |assign AS (
+           |  SELECT vec_id, list FROM (
+           |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS rn
+           |    FROM cosines) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS qid, list FROM (
+           |    SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list) AS rn
+           |    FROM cosines WHERE vec_id < 5) WHERE rn <= 3),
+           |cand AS (
+           |  SELECT DISTINCT p.qid, a.vec_id AS neighbor_id
+           |  FROM probes p JOIN assign a ON a.list = p.list
+           |  WHERE a.vec_id <> p.qid),
+           |scored AS (
+           |  SELECT c.qid, c.neighbor_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) /
+           |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+           |     sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cosine
+           |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+           |  JOIN embeddings qe ON qe.vec_id = c.qid)
+           |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
+           |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)
+  }
 }

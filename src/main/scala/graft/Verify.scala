@@ -37,7 +37,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + the data-dependent ones (driver-computed literals,
+    // e.g. the trained-IVF codebook) built against the SAME sfDir
+    val dynamic = try SparkEntry.oracleSqlDynamic(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -123,6 +123,15 @@ object Fixtures {
     * double arithmetic by an ulp). */
   private def dbl(v: Double): String = s"CAST($v AS DOUBLE)"
 
+  /** Round-trip-SAFE double literal: scientific notation parses as DOUBLE
+    * directly in DuckDB. A plain 17-digit decimal string (Double.toString)
+    * parses as DECIMAL first, and DECIMAL->DOUBLE conversion is not
+    * correctly rounded — measured 1-ulp drift on e.g.
+    * -0.0026832815729997475. 17 fractional digits guarantee the exact
+    * original bits back. */
+  def dblE(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%1.17e", Double.box(v))
+
   def boxIntersectOracleSql(dLat: Double = 0.002, dLng: Double = 0.002,
                             stride: Int = 100): String = {
     val pts = pointsOracleSql()

@@ -56,6 +56,51 @@ object Sightline {
     }
   }
 
+  /**
+   * The polar sweep's segment-intersection core as a fully ORACLED operator:
+   * per (origin, ray) the occlusion parameter t in (0,1] — the fraction of
+   * the ray at which the first occluder edge is hit (1.0 = unobstructed),
+   * the quantity each visibilityPolygon vertex is built from
+   * (sightline.go:21-120's OcclusionPoint). Rays are RATIONAL directions
+   * (integer (dx,dy) normalized once on the driver) spanning fixed
+   * degree-space radii, and the t/u parameters are the textbook 2x2 cross
+   * solve — every arithmetic step is +,-,*,/ over literal doubles, so a
+   * DuckDB oracle replays the whole cast bit-exactly (no trig crosses the
+   * engine boundary; the trig-angle polygon stays covered by SightlineSpec).
+   *
+   * origins: (origin_id, px=lng, py=lat); dirs: (ray_idx, ex, ey) — the ray
+   * ENDPOINT offsets in degrees; edges: (ax, ay, bx, by) occluder segments
+   * in lng/lat. dirs/edges are broadcast-sized by contract.
+   */
+  def rayOcclusions(origins: DataFrame, dirs: DataFrame, edges: DataFrame): DataFrame = {
+    val crossed = origins.crossJoin(broadcast(dirs)).crossJoin(broadcast(edges))
+    val denom0 = col("ex") * (col("by") - col("ay")) - col("ey") * (col("bx") - col("ax"))
+    // parallel ray/edge -> NULL denominator (not 0: ANSI mode raises on /0
+    // and And does not short-circuit); NULL propagates through t/u and the
+    // comparisons, dropping the pair — nullif() mirrors this in the oracle
+    val denom = when(denom0 =!= 0.0, denom0)
+    val t = ((col("ax") - col("px")) * (col("by") - col("ay")) -
+      (col("ay") - col("py")) * (col("bx") - col("ax"))) / denom
+    val u = ((col("ax") - col("px")) * col("ey") -
+      (col("ay") - col("py")) * col("ex")) / denom
+    crossed
+      .withColumn("__t", when(t > 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0, t))
+      .groupBy(col("origin_id"), col("ray_idx"))
+      .agg(coalesce(min(col("__t")), lit(1.0)).as("occlusion"))
+  }
+
+  /** 16 rational ray directions as degree-space endpoint offsets: integer
+    * (dx,dy) scaled to a fixed (0.006 lng, 0.004 lat) span — driver-computed
+    * doubles shared verbatim with the oracle's VALUES literals. */
+  val rationalDirections: Seq[(Int, Double, Double)] = {
+    val ints = Seq((1, 0), (2, 1), (1, 1), (1, 2), (0, 1), (-1, 2), (-1, 1),
+      (-2, 1), (-1, 0), (-2, -1), (-1, -1), (-1, -2), (0, -1), (1, -2), (1, -1), (2, -1))
+    ints.zipWithIndex.map { case ((dx, dy), i) =>
+      val n = math.sqrt((dx * dx + dy * dy).toDouble)
+      (i, dx / n * 0.006, dy / n * 0.004)
+    }
+  }
+
   /** Ray-cast visibility polygon around (lat,lng): `rays` uniform angles plus
     * every occluder vertex angle ±ε (the polar-sweep event points). */
   def visibilityPolygon(lat: Double, lng: Double, occluders: Seq[Geometry],

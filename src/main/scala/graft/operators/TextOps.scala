@@ -125,6 +125,10 @@ object TextOps {
     df.withColumn("minhash", sig(shingles(col(textCol), k)))
   }
 
+  /** Prefix of the observe()-metric names emitted by [[bucketCandidates]]. */
+  val BucketStarMetricPrefix = "bucket_stars"
+  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /**
    * Within-bucket candidate pairs with a hot-bucket bound: buckets up to
    * `maxBucketSize` emit the full pairwise set; DEGENERATE buckets (beyond
@@ -134,6 +138,17 @@ object TextOps {
    * stay connected through the representative (every member verifies against
    * it), while the quadratic blow-up of one degenerate task is avoided.
    * `banded` must have (__id, keyCols..., extra non-key columns allowed).
+   *
+   * RECALL CONTRACT of the star degradation: inside a degenerate bucket,
+   * only (representative, member) pairs are emitted — two members that are
+   * each near the representative but share NO other (small) bucket surface
+   * only transitively through it, and the pair output does not express that
+   * edge. The degradation is therefore NOT silent: every call observe()s
+   * `bucket_stars_<n>` metrics — `degraded_buckets` (how many buckets were
+   * starred) and `forgone_pairs` (how many within-bucket candidate pairs the
+   * stars did not enumerate, (n-1)(n-2)/2 per bucket) — readable after any
+   * action via [[bucketDegradationMetrics]], so a dedup report can state
+   * exactly how much pairwise coverage was traded for boundedness.
    */
   private[graft] def bucketCandidates(banded: DataFrame, keyCols: Seq[String],
                                       maxBucketSize: Int): DataFrame = {
@@ -141,14 +156,33 @@ object TextOps {
     val wb = Window.partitionBy(keyCols.map(col): _*)
     val sized = banded.withColumn("__bn", count(lit(1)).over(wb))
     val small = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
-    val big = sized.where(col("__bn") > maxBucketSize).drop("__bn")
+    val big = sized.where(col("__bn") > maxBucketSize)
     val smallPairs = small.as("a").join(small.as("b"), keyCols)
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-    val reps = big.groupBy(keyCols.map(col): _*).agg(min(col("__id")).as("__rep"))
-    val starPairs = big.join(reps, keyCols).where(col("__id") =!= col("__rep"))
+    val reps = big.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__id")).as("__rep"), max(col("__bn")).as("__n"))
+      .observe(s"${BucketStarMetricPrefix}_${bucketMetricSeq.getAndIncrement()}",
+        count(lit(1)).as("degraded_buckets"),
+        coalesce(sum((col("__n") - 1) * (col("__n") - 2) / 2), lit(0.0))
+          .cast("long").as("forgone_pairs"))
+    val starPairs = big.drop("__bn").join(reps.drop("__n"), keyCols)
+      .where(col("__id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("__id").as("id_b"))
     smallPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Sum of the star-degradation metrics observed by the LAST action on `df`
+    * (degraded buckets, forgone pairwise candidates). (0, 0) when no bucket
+    * degraded — the pair output was exhaustive within buckets. Call it on the
+    * exact DataFrame the action ran on: observed metrics attach to that
+    * QueryExecution, not to further-derived Datasets. */
+  def bucketDegradationMetrics(df: DataFrame): (Long, Long) = {
+    val rows = df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(BucketStarMetricPrefix) =>
+        (row.getAs[Long]("degraded_buckets"), row.getAs[Long]("forgone_pairs"))
+    }
+    rows.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
   }
 
   /**

@@ -52,6 +52,28 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs == star + ((9000L, 9001L)), s"unexpected extras: ${(pairs -- star - ((9000L, 9001L))).take(5)}")
   }
 
+  test("star degradation is not silent: observe() metrics count degraded buckets + forgone pairs") {
+    // 5k byte-identical docs: every band bucket is degenerate. Output stays
+    // star-bounded (n-1 pairs) AND the observe() metrics report exactly how
+    // many buckets degraded and how many pairwise candidates the stars
+    // forwent — a dedup report can no longer read as exhaustive when it isn't.
+    val n = 5000
+    val df = (0 until n).map(i =>
+      (i.toLong, "same boilerplate text repeated in every document body verbatim"))
+      .toDF("doc_id", "text")
+    val projected = TextOps.dedupMinhashLsh(df, "doc_id", "text", k = 3,
+      threshold = 0.5, maxBucketSize = 64).select("id_a", "id_b")
+    // NB collect on `projected` ITSELF: observed metrics attach to the
+    // QueryExecution the action ran on, not to derived Datasets
+    val got = projected.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L until n).map(i => (0L, i)).toSet, s"star output not bounded: ${got.size}")
+    val (buckets, forgone) = TextOps.bucketDegradationMetrics(projected)
+    // 8 bands, each one degenerate 5000-doc bucket forgoing (n-1)(n-2)/2
+    // pairwise candidates beyond its star's n-1
+    assert(buckets == 8, s"degraded_buckets=$buckets")
+    assert(forgone == 8L * (n - 1).toLong * (n - 2).toLong / 2, s"forgone_pairs=$forgone")
+  }
+
   test("minhash jaccard estimate equals exact shingle jaccard on verification") {
     val pairs = TextOps.dedupMinhashLsh(docs, "doc_id", "text", k = 3, threshold = 0.0)
       .where(col("id_a") === 1L && col("id_b") === 6L).collect()

@@ -34,24 +34,61 @@ object Renderers {
    * DataFrames are immutable plans, so "mutable overlay" = replacing the
    * stored triple with the change-applied plans — the base is never touched
    * and every world stays independently queryable.
+   *
+   * DURABILITY: with a `root` directory the registry is backed by the
+   * Snapshots layer — every applyChange exports the named world's triple as
+   * committed snapshot tables (≙ export-world per world,
+   * api/functions/export.go:16-29, over the compact-file format), and
+   * findOrCreate in a NEW session reloads the latest committed snapshot of
+   * an id it has never seen — scenario worlds survive a JVM restart.
    */
-  class WorldRegistry(spark: SparkSession, base: World) {
+  class WorldRegistry(spark: SparkSession, base: World,
+                      root: Option[String] = None) {
     private val worlds =
       scala.collection.concurrent.TrieMap[WorldId, World]()
 
-    def findOrCreate(id: WorldId): World =
-      worlds.getOrElseUpdate(if (valid(id)) id else DefaultWorldId, base)
+    def findOrCreate(id: WorldId): World = {
+      val key = if (valid(id)) id else DefaultWorldId
+      worlds.getOrElseUpdate(key, loadPersisted(key).getOrElse(base))
+    }
 
     private def valid(id: WorldId): Boolean = id.ns.nonEmpty && id.value >= 0
 
+    private def table(id: WorldId, part: String): String =
+      s"${id.ftype}_${id.ns.replace('/', '.')}_${id.value}_$part"
+
+    private def loadPersisted(id: WorldId): Option[World] = root.flatMap { r =>
+      graft.checkpoint.Snapshots.latestFor(r, table(id, "features")).map { f =>
+        def read(part: String) =
+          graft.checkpoint.Snapshots.latestFor(r, table(id, part))
+            .map(s => spark.read.parquet(s.dataPath))
+        World(spark.read.parquet(f.dataPath),
+          read("refs").getOrElse(base.refs),
+          read("items").getOrElse(base.items))
+      }
+    }
+
+    /** export-world for one named world: commit its triple as snapshot
+      * tables under `root` (no-op without a root). */
+    def exportWorld(id: WorldId): Unit = root.foreach { r =>
+      val w = findOrCreate(id)
+      val lineage = Seq(s"world:${id.ftype}/${id.ns}/${id.value}")
+      graft.checkpoint.Snapshots.commit(w.features, r, table(id, "features"), lineage)
+      graft.checkpoint.Snapshots.commit(w.refs, r, table(id, "refs"), lineage)
+      graft.checkpoint.Snapshots.commit(w.items, r, table(id, "items"), lineage)
+    }
+
     /** add-world-with-change: apply the ChangeSet to the world named `id`
-      * (creating it from base if absent) and store the result. */
+      * (creating it from base if absent), store — and, when durable, commit —
+      * the result. */
     def applyChange(id: WorldId, change: Changes.ChangeSet): WorldId = {
       val w = findOrCreate(id)
       val (features, refs, newItems) = Changes.apply(spark, w.features, w.refs, change)
       val items = if (newItems.isEmpty) w.items
         else w.items.unionByName(newItems, allowMissingColumns = true)
-      worlds(if (valid(id)) id else DefaultWorldId) = World(features, refs, items)
+      val key = if (valid(id)) id else DefaultWorldId
+      worlds(key) = World(features, refs, items)
+      if (root.isDefined) exportWorld(key)
       id
     }
 

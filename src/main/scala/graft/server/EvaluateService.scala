@@ -92,6 +92,19 @@ object EvaluateService {
           exchange.close()
       }
     })
+    // GET /functions: the machine-readable registry manifest — the
+    // `b6-api --functions` analogue (reference Makefile:79-80) that the
+    // python client generates its stubs from
+    server.createContext("/functions", { exchange =>
+      val fns = Shell.functionManifest
+        .map { case (n, a) => s"""{"name":"${escape(n)}","arity":$a}""" }
+        .mkString("[", ",", "]")
+      val resp = s"""{"version":"$ApiVersion","functions":$fns}""".getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, resp.length.toLong)
+      exchange.getResponseBody.write(resp)
+      exchange.close()
+    })
     server.start()
     server
   }

@@ -266,8 +266,9 @@ object Shell {
 
   // ---- simplify (api/shell.go:612-824) ----------------------------------------
 
-  /** Arg counts for the no-arg-call collapse (FunctionSymbols.ArgCount). */
-  private val argCounts: Map[String, Int] = Map(
+  /** Arg counts for the no-arg-call collapse (FunctionSymbols.ArgCount,
+    * names from api/functions/functions.go:22-178). */
+  private[shell] val argCounts: Map[String, Int] = Map(
     "find" -> 1, "filter" -> 2, "map" -> 2, "highlight" -> 1, "count" -> 1,
     "take" -> 2, "top" -> 2, "find-feature" -> 1, "find-area" -> 1,
     "find-relation" -> 1, "all-areas" -> 0, "find-areas" -> 1,
@@ -280,7 +281,27 @@ object Shell {
     "to-geojson" -> 1, "to-geojson-collection" -> 1,
     "accessible-all" -> 2, "closest" -> 3, "evaluate-feature" -> 1,
     "collection" -> 1, "pair" -> 2, "area" -> 1, "length" -> 1, "gt" -> 2,
-    "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2)
+    "add" -> 2, "divide" -> 2, "to-str" -> 1, "matches" -> 2,
+    // round-4 registry widening — the next tier of names users type
+    "ll" -> 2, "distance-meters" -> 2, "distance-to-point-meters" -> 2,
+    "interpolate" -> 2, "sample-points" -> 2, "snap-area-edges" -> 2,
+    "flatten" -> 1, "join-missing" -> 2, "percentiles" -> 1,
+    "count-valid-keys" -> 1, "count-valid-ids" -> 1, "sum" -> 1,
+    "add-ints" -> 2, "divide-int" -> 2, "clamp" -> 3,
+    "first" -> 1, "second" -> 1, "get-int" -> 2, "get-float" -> 2,
+    "int-value" -> 1, "float-value" -> 1,
+    "reachable-area" -> 2, "paths-to-reach" -> 2, "closest-distance" -> 3,
+    "degree" -> 1, "connect-to-network" -> 1,
+    "s2-grid" -> 2, "s2-covering" -> 2, "s2-center" -> 1,
+    "import-geojson" -> 1, "parse-geojson" -> 1, "materialise" -> 1,
+    "sightline" -> 2, "rectangle-polygon" -> 2, "cap-polygon" -> 2,
+    "centroid" -> 1, "convex-hull" -> 1, "is-valid" -> 1,
+    "type-point" -> 1, "type-path" -> 1, "type-area" -> 1, "all" -> 0)
+
+  /** Machine-readable registry manifest — the `b6-api --functions` analogue
+    * (reference Makefile:79-80): every shell-callable name with its arity,
+    * for client-stub generation. */
+  def functionManifest: Seq[(String, Int)] = argCounts.toSeq.sortBy(_._1)
 
   /** A partially-applied builtin — the b6 VM's partial-application semantics
     * (api/vm.go:244-280): later args (typically the pipelined feature) fill
@@ -399,11 +420,20 @@ object Shell {
   def run(world: DataFrame, network: DataFrame, expression: String): Any =
     eval(Env(world, Some(network)), simplify(parse(expression)))
 
+  /** Evaluate with both the network edges AND the node coordinate table in
+    * scope — required by the geometry-aware graph functions
+    * (connect-to-network, reachable-area). */
+  def run(world: DataFrame, network: DataFrame, nodes: DataFrame,
+          expression: String): Any =
+    eval(Env(world, Some(network), Some(nodes)), simplify(parse(expression)))
+
   /** The evaluation environment: the world plus an optional derived street
     * network (the reference's graph functions get it from the world
     * implicitly; here network derivation is an explicit ingest step —
-    * OsmWorld.networkEdges — passed alongside). */
-  case class Env(world: DataFrame, network: Option[DataFrame])
+    * OsmWorld.networkEdges — passed alongside) and optionally the network's
+    * node coordinates (node_id, lat, lng). */
+  case class Env(world: DataFrame, network: Option[DataFrame],
+                 nodes: Option[DataFrame] = None)
 
   def runDf(world: DataFrame, expression: String): DataFrame =
     run(world, expression).asInstanceOf[DataFrame]
@@ -473,6 +503,8 @@ object Shell {
       case ("highlight", List(c)) => c // UI marker: identity over the collection
       case ("tag", List(k: String, v: String)) => TagE(k, v)
       case ("value", List(TagE(_, v))) => v
+      case ("int-value", List(TagE(_, v))) => v.toLong
+      case ("float-value", List(TagE(_, v))) => v.toDouble
       // change-producing functions (api/functions/change.go): on a feature id
       // they RETURN a ChangeSet — application happens at the evaluation
       // boundary (grpc/service.go:60-67), mirrored by EvaluateService.
@@ -515,7 +547,11 @@ object Shell {
         else graft.operators.Aggs.histogramUniform(df, "value")
       case ("top", List(c, n)) =>
         graft.operators.Aggs.top(asDf(c), "value", num(n).toInt, "value")
-      // to-geojson(-collection) (api/functions/geojson.go:18-48)
+      // to-geojson(-collection) (api/functions/geojson.go:18-48); a bare
+      // geometry value (rectangle-polygon / cap-polygon results) renders as
+      // one Feature — must match BEFORE the collection form
+      case ("to-geojson", List(g: org.locationtech.jts.geom.Geometry)) =>
+        graft.sources.GeoJson.featureToJson(g, Map.empty)
       case ("to-geojson", List(c)) =>
         val df = asDf(c)
         val toJson = udf { (wkb: Array[Byte], tags: Map[String, String]) =>
@@ -565,6 +601,158 @@ object Shell {
         val origins = asDf(c).select(col("id.value").as("origin"))
         val targets = asDf(t).select(col("id.value").as("target"))
         graft.operators.Graph.closest(requireNetwork(env), origins, targets, num(m))
+      // ---- round-4 registry widening: the next tier of names users type
+      //      (functions.go:22-178), dispatched onto the existing Scala API ----
+      case ("ll", List(a, b)) => LatLngE(num(a), num(b))
+      case ("all", Nil) => All
+      case ("is-valid", List(FeatureIdE(_, ns, v))) => ns.nonEmpty && v >= 0
+      case ("type-point", List(q)) => TypedQ("point", asQuery(q))
+      case ("type-path", List(q)) => TypedQ("path", asQuery(q))
+      case ("type-area", List(q)) => TypedQ("area", asQuery(q))
+      case ("distance-meters", List(LatLngE(a1, o1), LatLngE(a2, o2))) =>
+        graft.core.GeoOps.haversineMeters(a1, o1, a2, o2)
+      case ("distance-to-point-meters", List(c, LatLngE(la, lo))) =>
+        val f = udf((wkb: Array[Byte]) =>
+          graft.functions.GeoFunctions.distanceToPointMeters(graft.core.GeoOps.fromWkb(wkb), la, lo))
+        asDf(c).withColumn("value", f(col("geom")))
+      case ("interpolate", List(c, f)) =>
+        val frac = num(f)
+        val ip = udf { (wkb: Array[Byte]) =>
+          val (la, lo) = graft.functions.GeoFunctions.interpolate(graft.core.GeoOps.fromWkb(wkb), frac)
+          Array(la, lo)
+        }
+        asDf(c).withColumn("__ip", ip(col("geom")))
+          .withColumn("vlat", col("__ip").getItem(0))
+          .withColumn("vlng", col("__ip").getItem(1)).drop("__ip")
+      case ("sample-points", List(c, m)) =>
+        graft.operators.Paths.samplePointsAlongPaths(asDf(c), num(m))
+      case ("snap-area-edges", List(c, m)) =>
+        val paths = world.where(col("id.ftype") === "path")
+        graft.operators.Paths.snapAreaEdges(
+          asDf(c).select(col("id.value").as("poly_id"), col("geom")), paths, num(m))
+      case ("flatten", List(c)) => c match {
+        case df: DataFrame => graft.operators.Aggs.flatten(df, "value", "value")
+        case seq: Seq[_] => seq.flatMap {
+          case (_, inner: Seq[_]) => inner
+          case other => Seq(other)
+        }
+        case other => throw ShellException(s"cannot flatten $other")
+      }
+      case ("join-missing", List(a, b)) =>
+        val (da, db) = (asDf(a), asDf(b))
+        val key = da.columns.intersect(db.columns).headOption.getOrElse(
+          throw ShellException("join-missing: no shared key column"))
+        graft.operators.Aggs.joinMissing(da, db, key)
+      case ("percentiles", List(c)) =>
+        graft.operators.Aggs.percentiles(asDf(c), "value")
+      case ("count-valid-keys", List(c)) =>
+        val df = asDf(c)
+        val key = if (df.columns.contains("key")) "key" else "id.value"
+        graft.operators.Aggs.countValidKeys(df, key, col("value").isNotNull)
+      case ("count-valid-ids", List(c)) =>
+        asDf(c).where(col("value").isNotNull).count()
+      case ("sum", List(c)) =>
+        asDf(c).agg(sum(col("value"))).head.get(0)
+      case ("add-ints", List(a: Long, b: Long)) => a + b
+      case ("divide-int", List(a: Long, b: Long)) => a / b
+      case ("clamp", List(v, lo, hi)) =>
+        math.max(num(lo), math.min(num(hi), num(v))).toLong
+      case ("first", List((k, _))) => k
+      case ("second", List((_, v))) => v
+      // graph plane over the env network (+ node coords where geometry is
+      // needed); reference signatures take (origin, options, distance, query)
+      // per-feature — here the collection IS the origin set, Spark-first
+      case ("reachable-area", List(c, m)) =>
+        val spark = world.sparkSession
+        import spark.implicits._
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        val reached = graft.operators.Graph.reachable(requireNetwork(env), origins, num(m))
+        reached.join(requireNodes(env), col("node") === col("node_id"))
+          .select(col("origin"), col("lat"), col("lng"))
+          .as[(Long, Double, Double)]
+          .groupByKey(_._1).mapGroups { (o, it) =>
+            val cs = it.map { case (_, la, lo) => graft.core.GeoOps.point(la, lo).getCoordinate }.toArray
+            val hull = graft.core.GeoOps.factory.createMultiPointFromCoords(cs).convexHull()
+            (o, graft.functions.GeoFunctions.areaM2(hull))
+          }.toDF("origin", "area_m2")
+      case ("paths-to-reach", List(c, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        graft.operators.Graph.pathsToReach(requireNetwork(env), origins, num(m))
+      case ("closest-distance", List(c, t, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        val targets = asDf(t).select(col("id.value").as("target"))
+        graft.operators.Graph.closest(requireNetwork(env), origins, targets, num(m))
+          .select(col("origin"), col("dist_m"))
+      case ("degree", List(c)) =>
+        // segments meeting at each of the collection's vertices (features.go:212-219)
+        val deg = requireNetwork(env).groupBy(col("src").as("node_id"))
+          .agg(count(lit(1)).as("degree"))
+        asDf(c).select(col("id.value").as("node_id"))
+          .join(deg, Seq("node_id"), "left")
+          .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      case ("connect-to-network", List(c)) =>
+        // access edge to the nearest network node within 500 m (graph.go:547-565)
+        graft.operators.Graph.connectToNetwork(
+          asDf(c).select(col("id.value").as("fid"), col("lat"), col("lng")),
+          requireNodes(env), requireNetwork(env), 500.0)
+      case ("s2-grid", List(c, l)) =>
+        graft.functions.CellExprs.install(world.sparkSession)
+        asDf(c).select(graft.functions.CellExprs.cell_parent_at(
+          col("cell16"), lit(num(l).toInt)).as("cell")).distinct()
+      case ("s2-covering", List(c, l)) =>
+        graft.functions.CellExprs.install(world.sparkSession)
+        asDf(c).select(col("id"),
+          explode(graft.functions.CellExprs.cell_covering(
+            col("geom"), lit(num(l).toInt), lit(16))).as("cell"))
+      case ("s2-center", List(cell: Long)) =>
+        LatLngE(graft.core.Cells.centerLat(cell), graft.core.Cells.centerLng(cell))
+      case ("import-geojson", List(json: String)) =>
+        graft.sources.GeoJson.importGeoJson(world.sparkSession, json, "geojson")
+      case ("parse-geojson", List(json: String)) =>
+        val spark = world.sparkSession
+        import spark.implicits._
+        graft.sources.GeoJson.parseFeatures(json)
+          .map { case (g, props) => (graft.core.GeoOps.toWkb(g), props) }
+          .toDF("geom", "tags")
+      case ("materialise", List(nm: String)) =>
+        graft.operators.Materialise.materialise(world.sparkSession,
+          sys.props.getOrElse("graft.materialise.root", "spark-warehouse/materialised"), nm)._1
+      case ("sightline", List(LatLngE(la, lo), r)) =>
+        val spark = world.sparkSession
+        import spark.implicits._
+        val origins = Seq((0L, la, lo)).toDF("origin_id", "lat", "lng")
+        val occluders = world.where(col("tags").getItem("#building").isNotNull)
+          .select(col("geom"))
+        graft.operators.Sightline.sightlines(origins, occluders, num(r)).toDF()
+      case ("rectangle-polygon", List(LatLngE(a1, o1), LatLngE(a2, o2))) =>
+        graft.functions.GeoFunctions.rectanglePolygon(a1, o1, a2, o2)
+      case ("cap-polygon", List(LatLngE(la, lo), r)) =>
+        graft.functions.GeoFunctions.capPolygon(la, lo, num(r))
+      case ("area", List(g: org.locationtech.jts.geom.Geometry)) =>
+        graft.functions.GeoFunctions.areaM2(g)
+      case ("centroid", List(g: org.locationtech.jts.geom.Geometry)) =>
+        val (la, lo) = graft.functions.GeoFunctions.centroid(g)
+        LatLngE(la, lo)
+      case ("centroid", List(c)) =>
+        val cf = udf { (wkb: Array[Byte]) =>
+          val (la, lo) = graft.functions.GeoFunctions.centroid(graft.core.GeoOps.fromWkb(wkb))
+          Array(la, lo)
+        }
+        asDf(c).withColumn("__c", cf(col("geom")))
+          .withColumn("c_lat", col("__c").getItem(0))
+          .withColumn("c_lng", col("__c").getItem(1)).drop("__c")
+      case ("convex-hull", List(c)) =>
+        val spark = world.sparkSession
+        import spark.implicits._
+        // partial hulls per partition, merged on the driver (geometry.go:207-232)
+        val partials = asDf(c).select(col("geom")).as[Array[Byte]]
+          .mapPartitions { it =>
+            val cs = it.flatMap(w => graft.core.GeoOps.fromWkb(w).getCoordinates).toArray
+            if (cs.isEmpty) Iterator.empty
+            else Iterator(graft.core.GeoOps.toWkb(
+              graft.core.GeoOps.factory.createMultiPointFromCoords(cs).convexHull()))
+          }.collect()
+        graft.core.GeoOps.fromWkb(graft.functions.GeoFunctions.convexHullAll(partials.toSeq))
       case _ if argCounts.get(name).exists(_ > args.length) => Partial(name, args)
       case _ => throw ShellException(
         s"unknown function or bad arguments: $name(${args.mkString(", ")})")
@@ -576,6 +764,10 @@ object Shell {
   private def requireNetwork(env: Env): DataFrame =
     env.network.getOrElse(throw ShellException(
       "graph functions need a street network: use Shell.run(world, network, expression)"))
+
+  private def requireNodes(env: Env): DataFrame =
+    env.nodes.getOrElse(throw ShellException(
+      "this graph function needs node coordinates: use Shell.run(world, network, nodes, expression)"))
 
   private def num(v: Any): Double = v match {
     case d: Double => d
@@ -597,6 +789,10 @@ object Shell {
     case Partial("tag" | "get", List(k: String)) => col("tags").getItem(k)
     case Partial("get-string", List(k: String)) =>
       coalesce(col("tags").getItem(k), lit(""))
+    case Partial("get-int", List(k: String)) =>
+      coalesce(col("tags").getItem(k).try_cast("long"), lit(0L))
+    case Partial("get-float", List(k: String)) =>
+      coalesce(col("tags").getItem(k).try_cast("double"), lit(0.0))
     case other => throw ShellException(s"not a per-feature function: $other")
   }
 
@@ -613,6 +809,12 @@ object Shell {
       case ("get", List(SymbolE(`param`), k)) => col("tags").getItem(strOf(k))
       case ("get-string", List(SymbolE(`param`), k)) =>
         coalesce(col("tags").getItem(strOf(k)), lit(""))
+      case ("get-int", List(SymbolE(`param`), k)) =>
+        coalesce(col("tags").getItem(strOf(k)).try_cast("long"), lit(0L))
+      case ("get-float", List(SymbolE(`param`), k)) =>
+        coalesce(col("tags").getItem(strOf(k)).try_cast("double"), lit(0.0))
+      case ("int-value", List(inner)) => columnOf(inner, param).try_cast("long")
+      case ("float-value", List(inner)) => columnOf(inner, param).try_cast("double")
       case ("value", List(inner)) => columnOf(inner, param)
       case ("area", List(SymbolE(`param`))) =>
         graft.functions.GeoFunctions.area_m2(col("geom"))

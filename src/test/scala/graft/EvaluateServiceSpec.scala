@@ -80,6 +80,30 @@ class EvaluateServiceSpec extends SparkSuite {
     assert(r.kind == "long" && r.json == "11", r.toString)
   }
 
+  test("python stdlib client runs the b6_test.py golden corpus over HTTP (python/graft_b6.py)") {
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      val proc = new ProcessBuilder("python3", "python/client_test.py", port.toString)
+        .directory(new java.io.File("."))
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      assert(proc.waitFor() == 0, s"python client failed:\n$out")
+      assert(out.contains("OK 12 goldens"), out)
+    } finally server.stop(0)
+  }
+
+  test("GET /functions serves the stub-generation manifest (b6-api --functions analogue)") {
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      val resp = new String(new java.net.URL(s"http://127.0.0.1:$port/functions")
+        .openStream().readAllBytes(), "UTF-8")
+      assert(resp.contains("\"name\":\"find\",\"arity\":1"), resp.take(200))
+      assert(resp.contains("\"name\":\"percentiles\""))
+    } finally server.stop(0)
+  }
+
   test("HTTP POST /evaluate round-trips JSON") {
     val server = EvaluateService.serve(reg)
     try {

@@ -237,4 +237,145 @@ class ShellSpec extends SparkSuite {
     assert(Shell.run(world, "divide 7 2") == 3L) // int/int = int (math.go:16)
     assert(Shell.run(world, "divide 7.0 2") == 3.5)
   }
+
+  // ---- round-4 registry widening (functions.go:22-178 names) -----------------
+
+  import org.apache.spark.sql.functions.{col => c_}
+
+  test("eval: ll / distance-meters / s2-center are pure geometry values") {
+    assert(Shell.run(world, "ll 51.5353 -0.1258") == LatLngE(51.5353, -0.1258))
+    assert(Shell.run(world, "distance-meters (ll 51.5353 -0.1258) (ll 51.5363 -0.1268)") ==
+      graft.core.GeoOps.haversineMeters(51.5353, -0.1258, 51.5363, -0.1268))
+    val cell = graft.core.Cells.cellOf(51.5353, -0.1258, 12)
+    assert(Shell.run(world, s"s2-center $cell") ==
+      LatLngE(graft.core.Cells.centerLat(cell), graft.core.Cells.centerLng(cell)))
+  }
+
+  test("eval: rectangle-polygon | area and cap-polygon | to-geojson") {
+    val a = Shell.run(world,
+      "rectangle-polygon (ll 51.53 -0.13) (ll 51.54 -0.12) | area").asInstanceOf[Double]
+    assert(a > 0)
+    val gj = Shell.run(world,
+      "cap-polygon (ll 51.5353 -0.1258) 100.0 | to-geojson").asInstanceOf[String]
+    assert(gj.startsWith("""{"type":"Feature"""))
+  }
+
+  test("eval: centroid / sample-points / snap-area-edges / s2-covering / s2-grid over areas") {
+    val cen = Shell.runDf(world, "find-areas [#building] | centroid")
+    assert(cen.count() == 13L && cen.columns.contains("c_lat"))
+    assert(Shell.run(world, "find-areas [#building] | sample-points 10.0 | count")
+      .asInstanceOf[Long] > 0L)
+    assert(Shell.run(world, "find-areas [#building] | snap-area-edges 5.0 | count") == 13L)
+    assert(Shell.run(world, "find-areas [#building] | s2-covering 14 | count")
+      .asInstanceOf[Long] >= 13L)
+    assert(Shell.run(world, "find [#amenity] | s2-grid 10 | count").asInstanceOf[Long] > 0L)
+  }
+
+  test("eval: convex-hull folds partial hulls; interpolate walks the geometry") {
+    val hull = Shell.run(world, "find-areas [#building] | convex-hull")
+      .asInstanceOf[org.locationtech.jts.geom.Geometry]
+    assert(hull.getArea > 0)
+    val ip = Shell.runDf(world, "find-areas [#building] | interpolate 0.5")
+    assert(ip.count() == 13L && ip.columns.contains("vlat"))
+  }
+
+  test("eval: collection math — sum, percentiles, count-valid-ids/keys, get-int") {
+    val direct = world.where(c_("tags").getItem("#amenity") === "bicycle_parking")
+      .select(org.apache.spark.sql.functions.coalesce(
+        c_("tags").getItem("capacity").try_cast("long"),
+        org.apache.spark.sql.functions.lit(0L)).as("v"))
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0)
+    assert(Shell.run(world,
+      "find [#amenity=bicycle_parking] | map {f -> get-int f \"capacity\"} | sum") == direct)
+    assert(Shell.runDf(world,
+      "find [#amenity=bicycle_parking] | map {f -> area f} | percentiles").count() > 0L)
+    val withName = world.where(c_("tags").getItem("#amenity").isNotNull &&
+      c_("tags").getItem("name").isNotNull).count()
+    assert(Shell.run(world,
+      "find [#amenity] | map {f -> tag f \"name\"} | count-valid-ids") == withName)
+    assert(Shell.runDf(world,
+      "find [#amenity] | map {f -> tag f \"name\"} | count-valid-keys").count() ==
+      Shell.run(world, "find [#amenity] | count"))
+  }
+
+  test("eval: join-missing unions the missing keys; flatten explodes array values") {
+    val n = Shell.run(world,
+      "find [#building] | join-missing (find [#amenity]) | count").asInstanceOf[Long]
+    val buildings = Shell.run(world, "find [#building] | count").asInstanceOf[Long]
+    assert(n >= buildings)
+    assert(Shell.run(world, "pair 1 2 | first") == 1L)
+    assert(Shell.run(world, "pair 1 2 | second") == 2L)
+    assert(Shell.run(world, "add-ints 2 3") == 5L)
+    assert(Shell.run(world, "divide-int 7 2") == 3L)
+    assert(Shell.run(world, "clamp 10 0 5") == 5L)
+  }
+
+  test("eval: type-point/type-path/type-area queries and all/is-valid") {
+    val direct = QueryPlanner.find(world, TypedQ("point", Keyed("#amenity"))).count()
+    assert(Shell.run(world, "find (type-point (keyed \"#amenity\")) | count") == direct)
+    assert(Shell.run(world, "find (type-area (keyed \"#building\")) | count") == 13L)
+    assert(Shell.run(world, "is-valid /n/6082053666") == true)
+    assert(Shell.run(world, "find (all) | count") == world.count())
+  }
+
+  test("eval: sightline over #building occluders returns a visibility area") {
+    val df = Shell.runDf(world, "sightline (ll 51.5353 -0.1258) 200.0")
+    val row = df.head
+    assert(df.count() == 1L && row.getAs[Double]("area_m2") > 0)
+  }
+
+  test("eval: graph registry — reachable-area, paths-to-reach, closest-distance, degree, connect-to-network") {
+    import spark.implicits._
+    val (nodes, edges) = graft.operators.Graph.syntheticGrid(spark, 12)
+    // a grid world whose features sit on the grid nodes
+    val gridWorld = nodes.select(
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("point").as("ftype"),
+        org.apache.spark.sql.functions.lit("graft/grid").as("ns"),
+        c_("node_id").as("value")).as("id"),
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("#grid"),
+        org.apache.spark.sql.functions.lit("1")).as("tags"),
+      c_("lat"), c_("lng"))
+    val origins2 = gridWorld.where(c_("id.value").isin(0L, 71L))
+    def run(e: String) = Shell.run(origins2, edges, nodes, e)
+
+    val ra = run("find [#grid] | reachable-area 700.0").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(ra.count() == 2L && ra.collect().forall(_.getAs[Double]("area_m2") > 0))
+
+    val ptr = run("find [#grid] | paths-to-reach 900.0").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val direct = graft.operators.Graph.pathsToReach(edges, Seq(0L, 71L).toDF("origin"), 900.0)
+    assert(ptr.collect().toSet == direct.collect().toSet)
+
+    val cd = Shell.run(origins2.where(c_("id.value") === 0L), edges, nodes,
+      "find [#grid] | closest-distance (find [#grid]) 1200.0")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(cd.columns.toSeq == Seq("origin", "dist_m"))
+
+    val deg = run("find [#grid] | degree").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val directDeg = edges.groupBy(c_("src")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.collect().forall(r =>
+      r.getAs[Long]("degree") == directDeeOrZero(directDeg, r.getAs[Long]("node_id"))))
+
+    val connected = run("find [#grid] | connect-to-network")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    // every feature IS a node -> nearest node at distance 0; the world here
+    // holds 2 features, so the network grows by 2 access edges x 2 directions
+    assert(connected.count() == edges.count() + 2 * origins2.count())
+  }
+
+  private def directDeeOrZero(m: Map[Long, Long], k: Long): Long = m.getOrElse(k, 0L)
+
+  test("eval: materialise reads back a registered named plan (materialise.go:37-80)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-shell-mat").toString
+    sys.props("graft.materialise.root") = root
+    try {
+      graft.operators.Materialise.register("shell-test-plan",
+        s => { import s.implicits._; Seq((1L, "a"), (2L, "b")).toDF("k", "v") })
+      val df = Shell.runDf(world, "materialise \"shell-test-plan\"")
+      assert(df.collect().map(_.getString(1)).toSet == Set("a", "b"))
+    } finally sys.props.remove("graft.materialise.root")
+  }
 }

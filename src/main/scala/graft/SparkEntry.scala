@@ -177,6 +177,31 @@ object SparkEntry {
       t(s, d, "documents"), "doc_id", "text", k = 5, threshold = 0.2)
       .orderBy("id_a", "id_b")),
 
+    "td_dedup_clusters" -> ((s, d) => {
+      // duplicate-CLUSTER assignment: connected components over the EXACT
+      // n-gram Jaccard pair graph (pointer-doubling label propagation) —
+      // every doc labeled with the min id of its near-dup cluster
+      val docs = t(s, d, "documents")
+      val pairs = TextOps.ngramJaccardJoin(docs, "doc_id", "text", k = 5, threshold = 0.2)
+      TextOps.dedupClusters(pairs, docs.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // -- image near-dup by perceptual hash (input_hint phash:int64 column) --
+    "mm_phash_neardup" -> ((s, d) => {
+      // deterministic splitmix64 phashes + injected Hamming-2 clones; the
+      // oracle replays the mix, the banding and the popcount verify exactly
+      val sm = udf((i: Long) => Fixtures.splitmix64(i))
+      val base = t(s, d, "events")
+        .select(col("event_id").as("image_id"), sm(col("event_id")).as("phash"))
+      val clones = base.where(col("image_id") % 101 === 0)
+        .select((col("image_id") + 10000000L).as("image_id"),
+          col("phash").bitwiseXOR(lit(3L)).as("phash"))
+      ImageOps.phashNearDupPairs(base.unionByName(clones), maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- similarity search --
     "ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -908,6 +933,49 @@ object SparkEntry {
         |WHERE len(list_intersect(a.s, b.s)) >= 1
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // -- dedup clusters: transitive closure over the exact n-gram Jaccard
+    //    pair graph as a deduplicated recursive CTE (min reachable id) --
+    "td_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, greatest(len(t) - 3, 1))]) AS s FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) >= 1
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |walk(src, n) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.src, e.v FROM walk w JOIN edges e ON e.u = w.n)
+        |SELECT src AS doc_id, min(n) AS cluster FROM walk GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // -- phash near-dup pairs: splitmix64 replay + 16-bit band join + exact
+    //    popcount (the same U64 staging the simhash/minhash oracles use) --
+    "mm_phash_neardup" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("seedp", Seq("id"))
+      s"""WITH seedp AS (SELECT event_id AS id, CAST(event_id AS HUGEINT) AS z FROM events),
+         |$smCtes,
+         |allv AS (
+         |  SELECT id, h FROM $smOut
+         |  UNION ALL
+         |  SELECT id + 10000000 AS id, ${x64("h", "3")} AS h FROM $smOut WHERE id % 101 = 0),
+         |banded AS (
+         |  SELECT id, b.b AS bb,
+         |    CAST((h // CAST(power(2, b.b * 16) AS HUGEINT)) % 65536 AS BIGINT) AS bk
+         |  FROM allv CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |  FROM banded a JOIN banded c ON a.bb = c.bb AND a.bk = c.bk AND a.id < c.id),
+         |verified AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    bit_count(xor(${u2s("va.h")}, ${u2s("vb.h")})) AS hamming
+         |  FROM cand JOIN allv va ON va.id = cand.id_a JOIN allv vb ON vb.id = cand.id_b)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM verified
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     // -- simhash replayed exactly: FNV-1a byte chain + splitmix64 (staged
     //    64-bit arithmetic, Fixtures.U64Sql) + bit votes --

@@ -20,6 +20,17 @@ object ImageOps {
       phash: Long, psnr_db: Double, mean_r: Double, mean_g: Double, mean_b: Double,
       decoded_ok: Boolean)
 
+  /** Image near-duplicate PAIRS by perceptual hash: 4x16-bit banded Hamming
+    * join over the `phash` column (TextOps.hammingPairs64) — the image-space
+    * member of the dedup family next to text simhash. Recall is exact to
+    * Hamming <= 3 by the pigeonhole band guarantee; no decode needed, the
+    * signature column IS the input (input_hint schema carries phash:int64).
+    */
+  def phashNearDupPairs(images: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "image_id",
+                        phashCol: String = "phash"): DataFrame =
+    TextOps.hammingPairs64(images, idCol, phashCol, maxHamming)
+
   def psnr(ref: Array[Byte], got: Array[Byte]): Double = {
     if (ref.length != got.length || ref.length == 0) return 0.0
     var se = 0.0

@@ -258,23 +258,73 @@ object TextOps {
     df.withColumn("simhash", sig(col(textCol))).select(col(idCol), col("simhash"))
   }
 
-  /** SimHash near-dup pairs: bucket by 4 x 16-bit sub-keys (any pair within
-    * Hamming distance <= 3 shares at least one), verify exact popcount. */
-  def dedupSimhash(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
-    val banded = sig.withColumn("band", explode(
+  /**
+   * 64-bit Hamming near-dup pairs over ANY signature column (simhash,
+   * image perceptual hash, audio fingerprint): band into 4 x 16-bit sub-keys
+   * — any pair within Hamming distance <= 3 shares at least one band
+   * (pigeonhole) — bucket-join on (band, key) with the hot-bucket star bound,
+   * verify exact popcount. Shuffle moves only (id, band key); signatures
+   * re-attach by id for the verify.
+   */
+  def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
+    val s = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val banded = s.select(col("__id"), explode(
       transform(sequence(lit(0), lit(3)),
         b => struct(b.as("b"),
-          call_function("shiftright", col("simhash"), b.cast("int") * 16).bitwiseAND(lit(0xffffL)).as("k")))))
-    val a = banded.select(col("band.b").as("bb"), col("band.k").as("bk"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("band.b").as("bb"), col("band.k").as("bk"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("bb", "bk")).where(col("id_a") < col("id_b"))
+          call_function("shiftrightunsigned", col("__sig"), b.cast("int") * 16)
+            .bitwiseAND(lit(0xffffL)).as("k")))).as("band"))
+      .select(col("__id"), col("band.b").as("__bb"), col("band.k").as("__bk"))
+    val cand = bucketCandidates(banded, Seq("__bb", "__bk"), maxBucketSize)
+    cand
+      .join(s.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(s.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs: [[hammingPairs64]] over the simhash signature. */
+  def dedupSimhash(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhash(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /**
+   * Duplicate-CLUSTER assignment from a near-dup pair list: connected
+   * components of the pair graph as (id, cluster = min reachable id) — the
+   * step a dedup pipeline runs after pair generation to pick one keeper per
+   * cluster. Label propagation with pointer-doubling: each round a node
+   * takes the min of (its label, its neighbors' labels, its label's label) —
+   * the label-of-label hop halves chain lengths, so convergence is
+   * O(log diameter) rounds of ids-only shuffles (the LSH pair graphs here
+   * are star-dominated: 2-3 rounds), each round one localCheckpoint'd table
+   * and ONE action for the convergence test.
+   */
+  def dedupClusters(pairs: DataFrame, vertices: DataFrame,
+                    idCol: String = "doc_id",
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct().localCheckpoint(eager = false)
+    var lab = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = false)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = sym.join(lab.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("label"))
+      val viaParent = lab.join(
+        lab.select(col("id").as("label"), col("label").as("label2")), "label")
+        .select(col("id"), col("label2").as("label"))
+      val next = lab.unionByName(viaNeighbors).unionByName(viaParent)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
+      // ONE action: materializes `next` and counts still-moving labels
+      converged = next.join(lab.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      lab = next
+    }
+    lab.select(col("id").as(idCol), col("label").as("cluster"))
   }
 
   /** EXACT n-gram Jaccard similarity join: every pair with Jaccard >=

@@ -96,6 +96,51 @@ class TextOpsSpec extends SparkSuite {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("dedupClusters labels connected components with the min member id (incl. chains)") {
+    import spark.implicits._
+    // a star (1-2, 1-3), a CHAIN (10-11, 11-12, 12-13) — exercises the
+    // pointer-doubling hop — and isolated vertices
+    val pairs = Seq((1L, 2L), (1L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("id_a", "id_b")
+    val vertices = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L) ++ Seq(99L)).toDF("doc_id")
+    val got = TextOps.dedupClusters(pairs, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L))
+  }
+
+  test("dedupClusters over ngram pairs equals driver union-find") {
+    import spark.implicits._
+    val pairs = TextOps.ngramJaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val got = TextOps.dedupClusters(pairs, docs.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find oracle
+    val parent = scala.collection.mutable.Map((1L to 6L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 6L).map(i => i -> find(i)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("hammingPairs64 finds exactly the pairs within Hamming 3 (brute force)") {
+    import spark.implicits._
+    val sigs = (0L until 300L).map(i => (i, graft.model.Fixtures.splitmix64(i))) ++
+      Seq((1000L, graft.model.Fixtures.splitmix64(7L) ^ 3L), // Hamming 2 from id 7
+          (1001L, graft.model.Fixtures.splitmix64(7L) ^ 0x8000000000000001L)) // Hamming 2, high bit
+    val df = sigs.toDF("id", "sig")
+    val got = TextOps.hammingPairs64(df, "id", "sig")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(expected.contains((7L, 1000L)) && expected.contains((7L, 1001L)))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val fp = TextOps.fingerprint(
       Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text"), "text")

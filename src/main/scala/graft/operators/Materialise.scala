@@ -55,6 +55,14 @@ object Materialise {
     spark.read.parquet(dataPath)
   }
 
+  /** materialise-map over a REGISTERED named plan (the shell's entry). */
+  def materialiseMapNamed(spark: SparkSession, root: String, name: String,
+                          keyCol: String): DataFrame = {
+    val plan = registry.get(name)
+    require(plan != null, s"no registered plan named $name")
+    materialiseMap(spark, root, name, keyCol)(plan(spark))
+  }
+
   /** list-feature (features.go:522-528): read one materialised key back —
     * partition pruning makes this a single-directory read. */
   def listFeature(spark: SparkSession, root: String, name: String,

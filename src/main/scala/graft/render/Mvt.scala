@@ -220,11 +220,30 @@ object Mvt {
     // callers that already exploded the cover (e.g. the capped renderers)
     // pass their tile column; re-exploding pre-assigned rows would duplicate
     // a multi-tile feature inside every tile it covers
-    val assigned = tileCol.map(tc => features.withColumn("__tile", col(tc)))
+    val covered = tileCol.map(tc => features.withColumn("__tile", col(tc)))
       .getOrElse(features.withColumn("__tile",
         explode(graft.functions.CellExprs.tile_cover(col(geomCol), lit(zoom)))))
       .select(col("__tile"), col(fidCol).as("fid"), col(layerCol).as("layer"),
         col(geomCol).as("geom"), col(tagsCol).as("tags"), rankCol.cast("int").as("srank"))
+    // encodeTile keeps only the first MaxFeaturesPerTile of each (tile,
+    // layer) in (srank, fid) order — enforce that cap BEFORE the per-tile
+    // mapGroups with a salted two-stage rank, so a low-zoom tile never
+    // funnels an uncapped sort through one task (same discipline as
+    // Renderers.renderCapped; output bytes identical because the kept set
+    // is exactly what encodeTile would keep)
+    import org.apache.spark.sql.expressions.Window
+    val salts = spark.sessionState.conf.numShufflePartitions
+    val wLocal = Window
+      .partitionBy(col("__tile"), col("layer"), pmod(hash(col("fid")), lit(salts)))
+      .orderBy(col("srank"), col("fid"))
+    val wLayer = Window.partitionBy(col("__tile"), col("layer"))
+      .orderBy(col("srank"), col("fid"))
+    val assigned = covered
+      .withColumn("__lrank", row_number().over(wLocal))
+      .where(col("__lrank") <= MaxFeaturesPerTile)
+      .withColumn("__rank", row_number().over(wLayer))
+      .where(col("__rank") <= MaxFeaturesPerTile)
+      .select(col("__tile"), col("fid"), col("layer"), col("geom"), col("tags"), col("srank"))
       .as[(Long, Long, String, Array[Byte], Map[String, String], Int)]
     assigned.groupByKey(_._1)
       .mapGroups { (tileId, rows) =>

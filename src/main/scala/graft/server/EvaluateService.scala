@@ -43,6 +43,11 @@ object EvaluateService {
         val ids = (change.adds.map(a => s""""/${a.ftype}/${a.ns}/${a.value}"""") ++
           change.tagEdits.map(e => s""""/${e.ftype}/${e.ns}/${e.value}""""))
         EvaluateResult("change-applied", ids.mkString("[", ",", "]"))
+      case Shell.WorldChange(t, ns, v, change) =>
+        // add-world-with-change: the change lands under ITS OWN world id
+        // (change.go:213-218), which comes back to the client
+        reg.applyChange(WorldId(t, ns, v), change)
+        EvaluateResult("world-created", s""""/$t/$ns/$v"""")
       case ds: org.apache.spark.sql.Dataset[_] =>
         val rows = ds.toDF().limit(maxRows).toJSON.collect()
         EvaluateResult("collection", rows.mkString("[", ",", "]"))

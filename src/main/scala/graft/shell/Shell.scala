@@ -296,12 +296,35 @@ object Shell {
     "import-geojson" -> 1, "parse-geojson" -> 1, "materialise" -> 1,
     "sightline" -> 2, "rectangle-polygon" -> 2, "cap-polygon" -> 2,
     "centroid" -> 1, "convex-hull" -> 1, "is-valid" -> 1,
-    "type-point" -> 1, "type-path" -> 1, "type-area" -> 1, "all" -> 0)
+    "type-point" -> 1, "type-path" -> 1, "type-area" -> 1, "all" -> 0,
+    // full-registry closure — every remaining functions.go name
+    "map-items" -> 2, "map-parallel" -> 2, "histogram-with-id" -> 2,
+    "histogram-swatch" -> 1, "histogram-swatch-with-id" -> 2,
+    "list-feature" -> 3, "find-collection" -> 1, "containing-areas" -> 1,
+    "within" -> 1, "within-cap" -> 2, "all-tags" -> 1, "count-tag-value" -> 2,
+    "points" -> 1, "point-features" -> 1, "point-paths" -> 1,
+    "sample-points-along-paths" -> 2, "join" -> 2, "ordered-join" -> 2,
+    "call" -> 1, "get-centroid" -> 1, "s2-points" -> 2, "s2-polygon" -> 1,
+    "reachable" -> 2, "accessible-routes" -> 2, "filter-accessible" -> 2,
+    "connect" -> 3, "connect-to-network-all" -> 1, "collect-areas" -> 1,
+    "entrance-approach" -> 1, "tile-ids" -> 1, "tile-ids-hex" -> 1,
+    "tile-paths" -> 2, "parse-geojson-file" -> 1, "import-geojson-file" -> 1,
+    "geojson-areas" -> 1, "apply-to-point" -> 2, "apply-to-path" -> 2,
+    "apply-to-area" -> 2, "map-geometries" -> 2, "id-to-relation-id" -> 1,
+    "add-tags" -> 2, "remove-tags" -> 2, "add-point" -> 2,
+    "add-collection" -> 2, "add-expression" -> 2, "changes-to-file" -> 2,
+    "changes-from-file" -> 1, "materialise-map" -> 2, "debug-tokens" -> 1,
+    "debug-all-query" -> 1, "export-world" -> 1, "add-world-with-change" -> 2)
 
   /** Machine-readable registry manifest — the `b6-api --functions` analogue
     * (reference Makefile:79-80): every shell-callable name with its arity,
     * for client-stub generation. */
   def functionManifest: Seq[(String, Int)] = argCounts.toSeq.sortBy(_._1)
+
+  /** An `add-world-with-change` result: the evaluation boundary (which owns
+    * the worlds registry) applies `change` to the world named by the id. */
+  case class WorldChange(ftype: String, ns: String, value: Long,
+                         change: graft.operators.Changes.ChangeSet)
 
   /** A partially-applied builtin — the b6 VM's partial-application semantics
     * (api/vm.go:244-280): later args (typically the pipelined feature) fill
@@ -430,10 +453,16 @@ object Shell {
   /** The evaluation environment: the world plus an optional derived street
     * network (the reference's graph functions get it from the world
     * implicitly; here network derivation is an explicit ingest step —
-    * OsmWorld.networkEdges — passed alongside) and optionally the network's
-    * node coordinates (node_id, lat, lng). */
+    * OsmWorld.networkEdges — passed alongside), optionally the network's
+    * node coordinates (node_id, lat, lng), and optionally the references
+    * table (point-paths / point-features / entrance-approach). */
   case class Env(world: DataFrame, network: Option[DataFrame],
-                 nodes: Option[DataFrame] = None)
+                 nodes: Option[DataFrame] = None,
+                 refs: Option[DataFrame] = None)
+
+  /** Evaluate under a fully-populated environment. */
+  def run(env: Env, expression: String): Any =
+    eval(env, simplify(parse(expression)))
 
   def runDf(world: DataFrame, expression: String): DataFrame =
     run(world, expression).asInstanceOf[DataFrame]
@@ -753,6 +782,184 @@ object Shell {
               graft.core.GeoOps.factory.createMultiPointFromCoords(cs).convexHull()))
           }.collect()
         graft.core.GeoOps.fromWkb(graft.functions.GeoFunctions.convexHullAll(partials.toSeq))
+      // ---- full-registry closure (every remaining functions.go name) ----
+      case ("map-items" | "map-parallel", List(c, f)) =>
+        // map-items sees (key, value) pairs, map-parallel is map with an
+        // explicit parallelism hint — both are the same declarative plan
+        // here (parallelism is the execution engine's job)
+        asDf(c).withColumn("value", featureColumn(f))
+      case ("histogram-with-id", List(c, FeatureIdE(_, ns, v))) =>
+        histogramChangeOf(asDf(c), ns, v, swatch = false)
+      case ("histogram-swatch", List(c)) =>
+        histogramChangeOf(asDf(c), "graft/histogram", 0L, swatch = true)
+      case ("histogram-swatch-with-id", List(c, FeatureIdE(_, ns, v))) =>
+        histogramChangeOf(asDf(c), ns, v, swatch = true)
+      case ("list-feature", List(nm: String, keyCol: String, key: String)) =>
+        graft.operators.Materialise.listFeature(world.sparkSession,
+          materialiseRoot, nm, keyCol, key)
+      case ("find-collection", List(FeatureIdE(_, ns, v))) =>
+        world.where(col("id.ftype") === "collection" && col("id.ns") === ns &&
+          col("id.value") === v)
+      case ("containing-areas", List(c)) =>
+        // PIP join of the collection's points vs the world's area features
+        // (api/functions/search.go findAreasContainingPoints)
+        val areas = world.where(col("id.ftype") === "area" && col("geom").isNotNull)
+          .select(col("id.value").as("poly_id"), col("geom"), col("covering"))
+        graft.operators.SpatialJoins.pointInPolygonJoin(
+          asDf(c).select(col("id.value").as("point_fid"), col("lat"), col("lng"), col("cell16")),
+          areas)
+      case ("within", List(g: org.locationtech.jts.geom.Geometry)) =>
+        IntersectsGeom(graft.core.GeoOps.toWkb(g))
+      case ("within-cap", List(LatLngE(la, lo), r)) => IntersectsCap(la, lo, num(r))
+      case ("all-tags", List(c)) =>
+        asDf(c).select(col("id"), explode(map_entries(col("tags"))).as("kv"))
+          .select(col("id"), col("kv.key").as("key"), col("kv.value").as("value"))
+      case ("count-tag-value", List(FeatureIdE(t, ns, v), k: String)) =>
+        graft.index.FeatureIndex.countTagValue(world, t, ns, v, k)
+      case ("points", List(c)) => graft.operators.Paths.points(asDf(c))
+      case ("point-paths", List(c)) =>
+        requireRefs(env).where(col("from_type") === "path")
+          .join(asDf(c).select(col("id.value").as("to_id")), Seq("to_id"))
+          .select(col("to_id"), col("from_id"))
+      case ("point-features", List(c)) =>
+        requireRefs(env)
+          .join(asDf(c).select(col("id.value").as("to_id")), Seq("to_id"))
+          .select(col("to_id"), col("from_type"), col("from_id"))
+      case ("sample-points-along-paths", List(c, m)) =>
+        graft.operators.Paths.samplePointsAlongPaths(asDf(c), num(m))
+      case ("join" | "ordered-join",
+            List(a: org.locationtech.jts.geom.Geometry, b: org.locationtech.jts.geom.Geometry)) =>
+        graft.core.GeoOps.fromWkb(graft.operators.Paths.joinPaths(
+          graft.core.GeoOps.toWkb(a), graft.core.GeoOps.toWkb(b)))
+      case ("call", f :: rest) => f match {
+        case s: SymbolE => apply(env, s, rest)
+        case Partial(nm, pre) => apply(env, SymbolE(nm), pre ++ rest)
+        case other => throw ShellException(s"call: not callable: $other")
+      }
+      case ("get-centroid", List(c)) => apply(env, SymbolE("centroid"), List(c))
+      case ("s2-points", List(c, l)) =>
+        graft.functions.CellExprs.install(world.sparkSession)
+        val center = udf((cell: Long) =>
+          Array(graft.core.Cells.centerLat(cell), graft.core.Cells.centerLng(cell)))
+        asDf(c).select(col("id"),
+          explode(graft.functions.CellExprs.cell_covering(
+            col("geom"), lit(num(l).toInt), lit(16))).as("cell"))
+          .withColumn("__c", center(col("cell")))
+          .withColumn("vlat", col("__c").getItem(0))
+          .withColumn("vlng", col("__c").getItem(1)).drop("__c")
+      case ("s2-polygon", List(cell: Long)) =>
+        graft.functions.GeoFunctions.rectanglePolygon(
+          graft.core.Cells.latLo(cell), graft.core.Cells.lngLo(cell),
+          graft.core.Cells.latHi(cell), graft.core.Cells.lngHi(cell))
+      case ("reachable", List(c, m)) =>
+        apply(env, SymbolE("accessible-all"), List(c, m))
+      case ("accessible-routes", List(c, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        graft.operators.Graph.reachableWithParents(requireNetwork(env), origins, num(m))
+      case ("filter-accessible", List(od, survivors)) =>
+        graft.operators.Graph.filterAccessible(
+          asDf(od).select(col("origin"), col("node")),
+          asDf(survivors).select(col("id.value").as("node_id")))
+      case ("connect", List(FeatureIdE(_, _, a), FeatureIdE(_, _, b), m)) =>
+        graft.operators.Graph.connect(requireNetwork(env), a, b, num(m))
+      case ("connect-to-network-all", List(c)) =>
+        apply(env, SymbolE("connect-to-network"), List(c))
+      case ("building-access", List(c, m)) =>
+        val origins = asDf(c).select(col("id.value").as("origin"))
+        graft.operators.Graph.buildingAccess(requireNetwork(env), origins, num(m),
+          world, nodeCol = "id.value")
+      case ("collect-areas", List(c)) =>
+        graft.core.GeoOps.fromWkb(graft.operators.Paths.collectAreas(asDf(c)))
+      case ("entrance-approach", List(FeatureIdE(_, _, wayId))) =>
+        graft.operators.Entrances.entranceApproach(world, requireRefs(env), wayId)
+          .map { case (la, lo) => LatLngE(la, lo) }
+          .getOrElse(throw ShellException(s"no entrance approach for way $wayId"))
+      case ("tile-ids" | "tile-ids-hex", List(c)) =>
+        val fid = udf((ftype: String, ns: String, v: Long) =>
+          graft.functions.TileIds.tileFeatureId(ftypeOrd(ftype), ns, v))
+        val base = asDf(c).select(col("id"),
+          fid(col("id.ftype"), col("id.ns"), col("id.value")).as("fid"))
+        if (name == "tile-ids-hex") base.withColumn("fid", lower(hex(col("fid"))))
+        else base
+      case ("tile-paths", List(c, z)) =>
+        graft.operators.SpatialJoins.tileCoverJoin(asDf(c), num(z).toInt)
+          .select(col("id"), col("tile"))
+      case ("parse-geojson-file", List(path: String)) =>
+        apply(env, SymbolE("parse-geojson"),
+          List(java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+      case ("import-geojson-file", List(path: String)) =>
+        apply(env, SymbolE("import-geojson"),
+          List(java.nio.file.Files.readString(java.nio.file.Paths.get(path))))
+      case ("geojson-areas", List(json: String)) =>
+        val spark = world.sparkSession
+        import spark.implicits._
+        graft.sources.GeoJson.geojsonAreas(json)
+          .map(graft.core.GeoOps.toWkb).toDF("geom")
+      case ("apply-to-point", List(c, f)) =>
+        asDf(c).withColumn("value",
+          when(col("id.ftype") === "point", featureColumn(f)))
+      case ("apply-to-path", List(c, f)) =>
+        asDf(c).withColumn("value",
+          when(col("id.ftype") === "path", featureColumn(f)))
+      case ("apply-to-area", List(c, f)) =>
+        asDf(c).withColumn("value",
+          when(col("id.ftype") === "area", featureColumn(f)))
+      case ("map-geometries", List(json: String, f)) =>
+        val g: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
+          f match {
+            case SymbolE("convex-hull") => _.convexHull()
+            case SymbolE("centroid") | SymbolE("get-centroid") => _.getCentroid
+            case other => throw ShellException(s"map-geometries: unsupported transform $other")
+          }
+        graft.sources.GeoJson.mapGeometries(json, g)
+      case ("id-to-relation-id", List(FeatureIdE(t, ns, v))) =>
+        FeatureIdE("relation", ns, graft.functions.TileIds.idToRelationId(t, ns, v))
+      case ("add-tags", List(FeatureIdE(t, ns, v), tags: Seq[_])) =>
+        graft.operators.Changes.merge(tags.toSeq.map {
+          case (_, TagE(k, tv)) => graft.operators.Changes.tagChange(t, ns, v, k, Some(tv))
+          case TagE(k, tv) => graft.operators.Changes.tagChange(t, ns, v, k, Some(tv))
+          case other => throw ShellException(s"add-tags: not a tag: $other")
+        })
+      case ("remove-tags", List(FeatureIdE(t, ns, v), keys: Seq[_])) =>
+        graft.operators.Changes.merge(keys.toSeq.map {
+          case (_, k: String) => graft.operators.Changes.tagChange(t, ns, v, k, None)
+          case k: String => graft.operators.Changes.tagChange(t, ns, v, k, None)
+          case other => throw ShellException(s"remove-tags: not a key: $other")
+        })
+      case ("add-point", List(LatLngE(la, lo), FeatureIdE(_, ns, v))) =>
+        graft.operators.Changes.ChangeSet(adds = Seq(
+          graft.operators.Changes.FeatureAdd("point", ns, v, Map.empty, la, lo)))
+      case ("add-collection", List(FeatureIdE(_, ns, v), items: Seq[_])) =>
+        graft.operators.Changes.addCollection(ns, v, Map("b6" -> "collection"),
+          items.toSeq.map {
+            case (k, item) => (k.toString, item.toString)
+            case other => throw ShellException(s"add-collection: not a pair: $other")
+          })
+      case ("add-expression", List(FeatureIdE(_, ns, v), e: String)) =>
+        graft.operators.Changes.addExpression(ns, v, Map("b6" -> "expression"), e)
+      case ("changes-to-file", List(ch: graft.operators.Changes.ChangeSet, path: String)) =>
+        graft.operators.Changes.toFile(world.sparkSession, ch, path)
+        path
+      case ("changes-from-file", List(path: String)) =>
+        graft.operators.Changes.fromFile(world.sparkSession, path)
+      case ("materialise-map", List(nm: String, keyCol: String)) =>
+        graft.operators.Materialise.materialiseMapNamed(
+          world.sparkSession, materialiseRoot, nm, keyCol)
+      case ("add-world-with-change", List(FeatureIdE(t, ns, v), l: LambdaE)) =>
+        // change.go:213-218: evaluate the change under the CURRENT world and
+        // hand the (world id, change) pair to the evaluation boundary, which
+        // owns the worlds registry (EvaluateService applies it)
+        eval(env, l.body) match {
+          case c: graft.operators.Changes.ChangeSet => WorldChange(t, ns, v, c)
+          case other => throw ShellException(
+            s"add-world-with-change body must produce a change, got $other")
+        }
+      case ("debug-tokens", List(c)) => graft.index.FeatureIndex.tokens(asDf(c))
+      case ("debug-all-query", List(tok: String)) =>
+        graft.index.FeatureIndex.debugAllQuery(world, tok)
+      case ("export-world", List(path: String)) =>
+        graft.index.FeatureIndex.build(world, path)
+        path
       case _ if argCounts.get(name).exists(_ > args.length) => Partial(name, args)
       case _ => throw ShellException(
         s"unknown function or bad arguments: $name(${args.mkString(", ")})")
@@ -768,6 +975,27 @@ object Shell {
   private def requireNodes(env: Env): DataFrame =
     env.nodes.getOrElse(throw ShellException(
       "this graph function needs node coordinates: use Shell.run(world, network, nodes, expression)"))
+
+  private def requireRefs(env: Env): DataFrame =
+    env.refs.getOrElse(throw ShellException(
+      "this function needs the references table: use Shell.run(Env(world, refs = Some(refs)), expression)"))
+
+  private def materialiseRoot: String =
+    sys.props.getOrElse("graft.materialise.root", "spark-warehouse/materialised")
+
+  private def ftypeOrd(t: String): Long = t match {
+    case "point" => 0L; case "path" => 1L; case "area" => 2L
+    case "relation" => 3L; case _ => 4L
+  }
+
+  /** histogram-with-id / -swatch: persist the numeric histogram of the
+    * collection's `value` column as a collection-feature ChangeSet
+    * (Aggs.histogramChange; applied at the evaluation boundary). */
+  private def histogramChangeOf(df: DataFrame, ns: String, id: Long,
+                                swatch: Boolean): graft.operators.Changes.ChangeSet = {
+    val keyCol = if (df.columns.contains("point_id")) "point_id" else "id.value"
+    graft.operators.Aggs.histogramChange(df, "value", keyCol, ns, id, swatch)._1
+  }
 
   private def num(v: Any): Double = v match {
     case d: Double => d

@@ -367,6 +367,156 @@ class ShellSpec extends SparkSuite {
 
   private def directDeeOrZero(m: Map[Long, Long], k: Long): Long = m.getOrElse(k, 0L)
 
+  test("registry closure: EVERY functions.go:22-178 name is shell-callable") {
+    // the reference's complete FunctionSymbols table, verbatim
+    val reference = Seq(
+      "map", "map-items", "map-parallel", "pair", "first", "second",
+      "collection", "count-values", "count-keys", "count-valid-keys", "filter",
+      "flatten", "sum-by-key", "take", "top", "histogram", "histogram-with-id",
+      "histogram-swatch", "histogram-swatch-with-id", "join-missing",
+      "list-feature", "find-feature", "find-area", "find-relation",
+      "find-collection", "find", "find-areas", "find-relations",
+      "containing-areas", "intersecting", "intersecting-cap", "tagged",
+      "keyed", "typed", "and", "or", "all", "is-valid", "type-point",
+      "type-path", "type-area", "within", "within-cap", "tag", "value",
+      "int-value", "float-value", "get", "get-string", "get-int", "get-float",
+      "all-tags", "matches", "count-tag-value", "degree", "length", "points",
+      "point-features", "point-paths", "sample-points",
+      "sample-points-along-paths", "join", "ordered-join", "evaluate-feature",
+      "call", "get-centroid", "s2-points", "s2-covering", "s2-grid",
+      "s2-center", "s2-polygon", "gt", "divide", "divide-int", "to-str",
+      "add", "add-ints", "clamp", "percentiles", "count", "count-valid-ids",
+      "sum", "reachable-area", "reachable", "accessible-all",
+      "accessible-routes", "filter-accessible", "closest", "closest-distance",
+      "paths-to-reach", "connect", "connect-to-network",
+      "connect-to-network-all", "building-access", "ll", "collect-areas",
+      "distance-meters", "distance-to-point-meters", "interpolate", "area",
+      "rectangle-polygon", "cap-polygon", "centroid", "sightline",
+      "entrance-approach", "snap-area-edges", "convex-hull", "tile-ids",
+      "tile-ids-hex", "tile-paths", "parse-geojson", "parse-geojson-file",
+      "to-geojson", "to-geojson-collection", "import-geojson",
+      "import-geojson-file", "geojson-areas", "apply-to-point",
+      "apply-to-path", "apply-to-area", "map-geometries", "id-to-relation-id",
+      "add-tag", "add-tags", "remove-tag", "remove-tags", "add-point",
+      "add-relation", "add-collection", "add-expression", "merge-changes",
+      "with-change", "add-world-with-change", "changes-to-file",
+      "changes-from-file", "materialise", "materialise-map", "debug-tokens",
+      "debug-all-query", "export-world")
+    assert(reference.length == 140)
+    val registered = Shell.functionManifest.map(_._1).toSet
+    val missing = reference.filterNot(n => registered.contains(n) ||
+      n == "area" || n == "length" || n == "count" || n == "map" || n == "filter")
+    // area/length/count/map/filter ARE registered; the filterNot guard is
+    // only belt-and-braces for set hygiene
+    assert(missing.isEmpty, s"names missing from the shell registry: $missing")
+  }
+
+  test("eval: full-registry sample — collections, features, tiles, geojson, debug") {
+    // map-items == map; all-tags explodes; tile-ids matches the FNV id
+    assert(Shell.runDf(world, "find [#amenity] | map-items {f -> tag f \"#amenity\"} | count-values")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.apply("bicycle_parking") == 11L)
+    val tags = Shell.runDf(world, "find [#amenity=bicycle_parking] | all-tags")
+    assert(tags.where(org.apache.spark.sql.functions.col("key") === "#amenity").count() == 11L)
+    val fidRow = Shell.runDf(world, "find [#amenity=bicycle_parking] | take 1 | tile-ids").head
+    val id = fidRow.getStruct(0)
+    assert(fidRow.getLong(1) == graft.functions.TileIds.tileFeatureId(
+      0L, id.getString(1), id.getLong(2)))
+    assert(Shell.run(world, "find-areas [#building] | tile-paths 16")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() > 0)
+    // within/within-cap build queries from geometry values
+    val n = Shell.run(world,
+      "find (within-cap (ll 51.5353 -0.1258) 250.0) | count").asInstanceOf[Long]
+    assert(n > 0)
+    assert(Shell.run(world,
+      "find (within (rectangle-polygon (ll 51.53 -0.13) (ll 51.54 -0.12))) | count")
+      .asInstanceOf[Long] > 0)
+    // debug plane
+    assert(Shell.run(world, "find [#building] | debug-tokens")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() > 0)
+    assert(Shell.run(world, "debug-all-query \"#amenity=bicycle_parking\"")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() == 11L)
+    // count-tag-value over a real feature
+    val b = world.where(org.apache.spark.sql.functions.col("tags").getItem("#building").isNotNull)
+      .select("id.ftype", "id.ns", "id.value").head
+    val ctv = Shell.run(world,
+      s"count-tag-value /${b.getString(0)}/${b.getString(1)}/${b.getLong(2)} \"#building\"")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(ctv.count() == 1L)
+    // s2 plane on geometries
+    assert(Shell.run(world, "find-areas [#building] | s2-points 14")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() >= 13L)
+    val cell = graft.core.Cells.cellOf(51.5353, -0.1258, 12)
+    val poly = Shell.run(world, s"s2-polygon $cell")
+      .asInstanceOf[org.locationtech.jts.geom.Geometry]
+    assert(poly.getArea > 0)
+    // call applies a bare function / partial
+    assert(Shell.run(world, "call count (find [#building])") == 13L)
+  }
+
+  test("eval: change plane closure — add-tags/remove-tags/add-point/add-expression/id-to-relation-id") {
+    val ch = Shell.run(world, "add-tags /a/427900370 {#amenity=test, @note=x}")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(ch.tagEdits.length == 2)
+    val rm = Shell.run(world, "remove-tags /a/427900370 {\"#amenity\", \"@note\"}")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(rm.tagEdits.length == 2 && rm.tagEdits.forall(_.newValue.isEmpty))
+    val ap = Shell.run(world, "add-point (ll 51.5353 -0.1258) /point/graft/new/7")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(ap.adds.head.ftype == "point" && ap.adds.head.value == 7L)
+    val ae = Shell.run(world, "add-expression /expression/graft/e/9 \"find [#building] | count\"")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(ae.adds.nonEmpty)
+    val rel = Shell.run(world, "id-to-relation-id /a/427900370")
+      .asInstanceOf[Shell.FeatureIdE]
+    assert(rel.ftype == "relation")
+    // round trip through files
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shell-ch").toString + "/ch"
+    Shell.run(world, s"""add-tags /a/427900370 {#amenity=test} | changes-to-file "$tmp"""")
+    val back = Shell.run(world, s"""changes-from-file "$tmp"""")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(back.tagEdits.length == 1 && back.tagEdits.head.key == "#amenity")
+  }
+
+  test("eval: histogram-with-id produces the collection change; graph closure names") {
+    import spark.implicits._
+    val ch = Shell.run(world,
+      "find [#amenity] | map {f -> area f} | histogram-with-id /collection/graft/h/5")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(ch.adds.head.tags.get("b6").contains("histogram"))
+    val sw = Shell.run(world,
+      "find [#amenity] | map {f -> area f} | histogram-swatch")
+      .asInstanceOf[graft.operators.Changes.ChangeSet]
+    assert(sw.adds.head.tags.get("b6:histogram").contains("swatch"))
+    // graph closure: reachable == accessible-all; accessible-routes carries
+    // parents; connect adds one undirected edge; building-access joins tags
+    val (nodes, edges) = graft.operators.Graph.syntheticGrid(spark, 12)
+    val gridWorld = nodes.select(
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("point").as("ftype"),
+        org.apache.spark.sql.functions.lit("graft/grid").as("ns"),
+        c_("node_id").as("value")).as("id"),
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("#grid"), org.apache.spark.sql.functions.lit("1"),
+        org.apache.spark.sql.functions.lit("#building"),
+        org.apache.spark.sql.functions.when(c_("node_id") < 5, "yes")).as("tags"),
+      c_("lat"), c_("lng"))
+    val origins = gridWorld.where(c_("id.value") === 0L)
+    def runG(e: String) = Shell.run(Shell.Env(origins, Some(edges), Some(nodes)), e)
+    val reach = runG("find [#grid] | reachable 700.0").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val acc = runG("find [#grid] | accessible-all 700.0").asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(reach.collect().toSet == acc.collect().toSet)
+    val routes = runG("find [#grid] | accessible-routes 700.0")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(routes.columns.contains("parent"))
+    val conn = runG("connect /point/graft/grid/0 /point/graft/grid/143 10.0")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(conn.count() == edges.count() + 2)
+    val ba = Shell.run(Shell.Env(gridWorld.where(c_("id.value") === 0L), Some(edges), Some(nodes)),
+      "find [#grid] | building-access 700.0").asInstanceOf[org.apache.spark.sql.DataFrame]
+    // building-access joins the WORLD features; env world here only has id 0
+    assert(ba.columns.toSeq == Seq("origin", "node", "dist_m"))
+  }
+
   test("eval: materialise reads back a registered named plan (materialise.go:37-80)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-shell-mat").toString

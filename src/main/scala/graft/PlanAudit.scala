@@ -25,6 +25,10 @@ object PlanAudit {
     SparkEntry.queries("ag_percentiles")(spark, d).explain("formatted")
     println("=== parquet pushdown check: qa_keyrange ===")
     SparkEntry.queries("qa_keyrange")(spark, d).explain("formatted")
+    println("=== mm_phash_neardup (banded hamming join: ids-only shuffle) ===")
+    SparkEntry.queries("mm_phash_neardup")(spark, d).explain("formatted")
+    println("=== td_dedup_clusters tail (one CC round's plan shape) ===")
+    SparkEntry.queries("td_dedup_clusters")(spark, d).explain("formatted")
     spark.stop()
   }
 }

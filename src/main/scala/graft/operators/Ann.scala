@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  /** Prefix of the candidate-set observe() metrics the ANN paths emit. */
+  val CandidateMetricPrefix = "ann_candidates"
+  private val annMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Attach a candidate-set size metric: approximate paths (LSH / IVF) have
+    * recall < 1 by construction, and the candidate count per run is the
+    * no-silent-caps evidence of HOW approximate — readable after any action
+    * on the exact DataFrame via [[candidateMetrics]]. */
+  private def observed(cand: DataFrame): DataFrame =
+    cand.observe(s"${CandidateMetricPrefix}_${annMetricSeq.getAndIncrement()}",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("candidates"))
+
+  /** Total candidates observed by the LAST action on `df` (0 when none ran).
+    * Call on the exact DataFrame the action ran on. */
+  def candidateMetrics(df: DataFrame): Long =
+    df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(CandidateMetricPrefix) =>
+        row.getAs[Long]("candidates")
+    }.sum
+
+
   /** Exact cosine as ONE tight-loop UDF (the aggregate(zip_with(..)) HOF
     * formulation is interpreted per element by Catalyst; one JVM loop per
     * pair scales better on wide embeddings). Accumulation order (ascending
@@ -207,9 +229,9 @@ object Ann {
     }
     val d = data.withColumn("__list", assign(col(vecCol)))
     val q = queries.withColumn("__list", explode(probe(col(qvecCol))))
-    val cand = d.join(broadcast(q), Seq("__list"))
+    val cand = observed(d.join(broadcast(q), Seq("__list"))
       .where(col(idCol) =!= col(qidCol))
-      .dropDuplicates(idCol, qidCol)
+      .dropDuplicates(idCol, qidCol))
       .withColumn("cosine",
         cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
@@ -255,9 +277,9 @@ object Ann {
       .drop("__bs")
     val d = withBuckets(data, vecCol)
     val q = withBuckets(queries, qvecCol)
-    val cand = d.join(broadcast(q), Seq("__t", "__bucket"))
+    val cand = observed(d.join(broadcast(q), Seq("__t", "__bucket"))
       .where(col(idCol) =!= col(qidCol))
-      .dropDuplicates(idCol, qidCol)
+      .dropDuplicates(idCol, qidCol))
       .withColumn("cosine",
         cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))

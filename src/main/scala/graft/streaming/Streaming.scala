@@ -113,6 +113,29 @@ object Streaming {
       }
   }
 
+  /**
+   * Streaming exact dedup — the streaming member of the dedup family
+   * (TextOps.dedupExact is the batch hash-groupBy): keep the first-arriving
+   * row per content hash. On a stream this is
+   * `dropDuplicatesWithinWatermark` — per-hash state is pruned once event
+   * time passes the watermark, so state size is bounded by the dedup
+   * HORIZON, not the stream's history (the dedup guarantee holds for
+   * duplicates arriving within the horizon — the honest contract at
+   * unbounded scale). The same call runs on a batch frame (one row kept
+   * per hash).
+   */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col(textCol).cast("binary")))
+    val out =
+      if (docs.isStreaming)
+        hashed.withColumn("__ts", col(tsCol).cast("timestamp"))
+          .withWatermark("__ts", watermark)
+          .dropDuplicatesWithinWatermark("__h").drop("__ts")
+      else hashed.dropDuplicates("__h")
+    out.drop("__h")
+  }
+
   /** Run a streaming query over parquet-backed events into an in-memory table
     * and return the materialised result (local smoke / tests). */
   def runStreamToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -33,6 +33,17 @@ class AnnSpec extends SparkSuite {
     }.toSet
   }
 
+  test("approximate paths observe their candidate-set size (no-silent-recall discipline)") {
+    val lsh = Ann.cosineLsh(data, queries, 5, bits = 5, tables = 16)
+      .select("qid", "rank", "neighbor_id")
+    lsh.collect()
+    val cands = Ann.candidateMetrics(lsh)
+    assert(cands > 0, "LSH candidate metric must fire")
+    // candidates are a strict subset of the 5 x (n-1) cross pairs — that gap
+    // IS the approximation being reported
+    assert(cands < 5L * (data.count() - 1))
+  }
+
   test("cosineTopK matches brute force exactly") {
     val got = Ann.cosineTopK(data, queries, 5)
       .select("qid", "rank", "neighbor_id").collect()

@@ -12,6 +12,35 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming exact dedup keeps one row per content hash (batch == streaming survivors)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "2026-01-01 10:00:00", "the same text"),
+      (2L, "2026-01-01 10:05:00", "the same text"),   // dup within watermark
+      (3L, "2026-01-01 10:10:00", "a different text"),
+      (4L, "2026-01-01 10:20:00", "the same text"),   // dup within watermark
+      (5L, "2026-01-01 10:30:00", "a third text"),
+    ).toDF("doc_id", "ts", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    // batch path: one survivor per distinct text
+    val batch = Streaming.dedupStream(docs, "text", "ts")
+    assert(batch.count() == 3L)
+    assert(batch.select("text").collect().map(_.getString(0)).toSet ==
+      Set("the same text", "a different text", "a third text"))
+    // streaming path over an arriving-files dir: same survivor set
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = Streaming.dedupStream(stream, "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("st_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("st_dedup")
+    assert(streamed.count() == 3L)
+    assert(streamed.select("text").collect().map(_.getString(0)).toSet ==
+      batch.select("text").collect().map(_.getString(0)).toSet)
+  }
+
   test("streaming tag-state fold applies changelog batches with last-writer-wins across micro-batches") {
     import spark.implicits._
     import Streaming.{SeqTagEdit, FeatureTagState}

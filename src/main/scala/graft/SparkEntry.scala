@@ -248,6 +248,17 @@ object SparkEntry {
         .select("qid", "rank", "neighbor_id").orderBy("qid", "rank")
     }),
 
+    "ann_pq" -> ((s, d) => {
+      // product-quantized ANN by asymmetric distance: codes-only storage,
+      // ADC scoring; codebooks are deterministic build artifacts embedded in
+      // the oracle as literals (oracleSqlDynamic), every fold order-matched
+      val e = t(s, d, "embeddings")
+      val cbs = trainedPqCodebooks(s, d)
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosinePq(e, q, 5, cbs).orderBy("qid", "rank")
+    }),
+
     "ann_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val dupes = e.where(col("vec_id") < 10)
@@ -1093,6 +1104,11 @@ object SparkEntry {
   private def trainedIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     Ann.trainIvfCentroids(t(s, d, "embeddings"), nLists = 8, iters = 3, sampleN = 256)
 
+  /** Shared PQ codebooks for ann_pq and its oracle: 8 subspaces x 16
+    * centroids, deterministic Lloyd's over the first 256 vectors. */
+  private def trainedPqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    Ann.trainPqCodebooks(t(s, d, "embeddings"), m = 8, k = 16, iters = 3, sampleN = 256)
+
   /**
    * Oracles whose SQL embeds DRIVER-COMPUTED literals derived from the data
    * at `sfDir` (the geo_scalar trick, but data-dependent): built by Verify —
@@ -1106,7 +1122,45 @@ object SparkEntry {
     val centValues = cents.zipWithIndex.map { case (c, l) =>
       s"($l, CAST(${c.map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))"
     }.mkString(", ")
+    val cbs = trainedPqCodebooks(spark, sfDir)
+    val cbValues = (for {
+      s <- cbs.indices; j <- cbs(s).indices
+    } yield s"($s, $j, CAST(${cbs(s)(j).map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))")
+      .mkString(", ")
     Map(
+      // PQ/ADC replay: assignment argmax + ascending-subspace list_reduce
+      // folds mirror the engine's sequential-double accumulation exactly
+      "ann_pq" ->
+        s"""WITH cb AS (
+           |  SELECT CAST(c0 AS BIGINT) AS s, CAST(c1 AS BIGINT) AS code, c2 AS c,
+           |    list_dot_product(c2, c2) AS cc
+           |  FROM (VALUES $cbValues) t(c0, c1, c2)),
+           |assign AS (
+           |  SELECT vec_id, s, code FROM (
+           |    SELECT e.vec_id, cb.s, cb.code,
+           |      row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+           |        (list_dot_product(CAST(e.embedding[cb.s * 8 + 1 : cb.s * 8 + 8] AS DOUBLE[]), cb.c)
+           |         - 0.5e0 * cb.cc) DESC, cb.code) AS rn
+           |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+           |parts AS (
+           |  SELECT q.vec_id AS qid, a.vec_id AS nid, a.s,
+           |    list_dot_product(CAST(q.embedding[a.s * 8 + 1 : a.s * 8 + 8] AS DOUBLE[]), cb.c) AS dnum,
+           |    cb.cc AS crr
+           |  FROM assign a
+           |  JOIN cb ON cb.s = a.s AND cb.code = a.code
+           |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+           |  WHERE a.vec_id <> q.vec_id),
+           |folded AS (
+           |  SELECT qid, nid,
+           |    list_reduce(list(dnum ORDER BY s), (a, b) -> a + b) AS num,
+           |    list_reduce(list(crr ORDER BY s), (a, b) -> a + b) AS rr
+           |  FROM parts GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT f.qid, f.nid AS neighbor_id,
+           |    f.num / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) * sqrt(f.rr)) AS adc
+           |  FROM folded f JOIN embeddings qe ON qe.vec_id = f.qid)
+           |SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank, neighbor_id
+           |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
       "ann_ivf_trained" ->
         s"""WITH cents AS (
            |  SELECT CAST(c0 AS BIGINT) AS list, c1 AS c

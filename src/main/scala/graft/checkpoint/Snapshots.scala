@@ -51,6 +51,20 @@ object Snapshots {
     committedIds(root).reverseIterator.map(id => read(root, id))
       .find(_.table == table)
 
+  /** Time travel: the table's newest snapshot with id <= `asOfId` (Iceberg's
+    * snapshot-id read). Data directories are immutable, so any historical
+    * snapshot stays readable until explicitly expired. */
+  def asOf(spark: SparkSession, root: String, table: String,
+           asOfId: Long): Option[DataFrame] =
+    committedIds(root).reverseIterator.map(id => read(root, id))
+      .find(s => s.table == table && s.id <= asOfId)
+      .map(s => spark.read.parquet(s.dataPath))
+
+  /** All committed snapshots of a table, oldest first — the history listing
+    * behind time travel and expiry decisions. */
+  def history(root: String, table: String): Seq[Snapshot] =
+    committedIds(root).map(id => read(root, id)).filter(_.table == table)
+
   def read(root: String, id: Long): Snapshot = {
     val json = Files.readString(snapsDir(root).resolve(s"$id.json"))
     def field(k: String): String = {

@@ -240,6 +240,130 @@ object Ann {
   }
 
   /**
+   * Product-quantization codebooks — the MEMORY-bounded 10^12-scale ANN
+   * path (Jegou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+   * Search", TPAMI 2011 — public paper): the vector splits into `m`
+   * subspaces, each quantized against its own `k`-centroid codebook, so a
+   * d-float vector stores as m small codes. Training is deterministic
+   * Lloyd's per subspace over a driver-side sample (ordered by id), with the
+   * L2 argmin expressed as argmax(dot(v,c) - 0.5*dot(c,c)) — pure
+   * sequential-double arithmetic, so codebooks double as DuckDB literals.
+   * Returns [m][k][d/m].
+   */
+  def trainPqCodebooks(data: DataFrame, m: Int = 8, k: Int = 16,
+                       iters: Int = 3, sampleN: Int = 256,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sample = data.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty && sample.head.length % m == 0,
+      s"dim ${sample.headOption.map(_.length)} must divide into $m subspaces")
+    val sub = sample.head.length / m
+    Array.tabulate(m) { s =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(k)(j => slices((j * slices.length / k) % slices.length).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        slices.foreach { v =>
+          val j = pqAssignOne(v, cents)
+          counts(j) += 1
+          var i = 0
+          while (i < sub) { sums(j)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(j =>
+          if (counts(j) == 0) cents(j)
+          else Array.tabulate(sub)(i => sums(j)(i) / counts(j)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** argmax_j (dot(v, c_j) - 0.5*dot(c_j, c_j)) — the L2 argmin for fixed
+    * |v|, first max wins (smallest code on ties), sequential arithmetic. */
+  private def pqAssignOne(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestS = Double.NegativeInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0.0; var cc = 0.0; var i = 0
+      while (i < c.length) { d += v(i) * c(i); cc += c(i) * c(i); i += 1 }
+      val s = d - 0.5 * cc
+      if (s > bestS) { bestS = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** PQ-encode every vector: (id, codes[m]). Codes-only storage downstream —
+    * the shuffle and state cost per vector drops from d floats to m bytes. */
+  def pqEncode(data: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = data.sparkSession.sparkContext.broadcast(codebooks)
+    val sub = codebooks.head.head.length
+    val enc = udf { (vec: Seq[Float]) =>
+      val cb = bc.value
+      Array.tabulate(cb.length) { s =>
+        val v = new Array[Double](sub)
+        var i = 0
+        while (i < sub) { v(i) = vec(s * sub + i).toDouble; i += 1 }
+        pqAssignOne(v, cb(s))
+      }
+    }
+    data.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /**
+   * PQ approximate top-k by asymmetric distance computation: the query stays
+   * exact, each data vector is its reconstruction from codes; cosine(q, r) =
+   * (sum_s dot(q_s, c_codes[s])) / (|q| * sqrt(sum_s |c_codes[s]|^2)), all
+   * sums folded in ascending-subspace order (sequential doubles — the oracle
+   * replays them with list(x ORDER BY s) + list_reduce). Returns
+   * (qid, rank, neighbor_id) ranked by ADC score desc, id.
+   */
+  def cosinePq(data: DataFrame, queries: DataFrame, k: Int,
+               codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val spark = data.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val sub = codebooks.head.head.length
+    val codes = pqEncode(data, codebooks, idCol, vecCol)
+    val score = udf { (qvec: Seq[Float], cds: Seq[Int]) =>
+      val cb = bc.value
+      // per-subspace partial dots folded in ascending-s order — the same
+      // associativity as the oracle's list_reduce over list(x ORDER BY s)
+      var num = 0.0; var rr = 0.0
+      var s = 0
+      while (s < cb.length) {
+        val c = cb(s)(cds(s))
+        var ds = 0.0; var cs = 0.0
+        var i = 0
+        while (i < sub) {
+          ds += qvec(s * sub + i).toDouble * c(i)
+          cs += c(i) * c(i)
+          i += 1
+        }
+        num += ds; rr += cs
+        s += 1
+      }
+      var qq = 0.0
+      var i = 0
+      while (i < qvec.length) { qq += qvec(i).toDouble * qvec(i); i += 1 }
+      num / (math.sqrt(qq) * math.sqrt(rr))
+    }
+    val cand = codes.join(broadcast(queries))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("adc", score(col(qvecCol), col("codes")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("adc").desc, col(idCol))
+    cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol).as("neighbor_id"))
+  }
+
+  /**
    * LSH-bucketed approximate NN: join on signed-random-projection bucket over
    * `tables` independent hash tables, then exact cosine within buckets.
    * Recall < 1 by construction; tested against the brute-force baseline.

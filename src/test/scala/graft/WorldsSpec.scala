@@ -45,6 +45,23 @@ class WorldsSpec extends SparkSuite {
     assert(s2.id == 1 && Snapshots.latest(root).get.rows == 1)
   }
 
+  test("snapshot time travel: asOf reads the historical table state; history lists commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+    val v1 = Seq((1L, "a")).toDF("id", "v")
+    val v2 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val s1 = Snapshots.commit(v1, root, "t", Nil)
+    Snapshots.commit(Seq((9L, "x")).toDF("id", "v"), root, "other", Nil)
+    val s3 = Snapshots.commit(v2, root, "t", Nil)
+    assert(Snapshots.history(root, "t").map(_.id) == Seq(s1.id, s3.id))
+    // asOf the FIRST commit sees one row; asOf head sees two; an id below
+    // the first commit sees nothing
+    assert(Snapshots.asOf(spark, root, "t", s1.id).get.count() == 1L)
+    assert(Snapshots.asOf(spark, root, "t", s3.id).get.count() == 2L)
+    assert(Snapshots.asOf(spark, root, "t", s3.id).get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Snapshots.asOf(spark, root, "t", s1.id - 1).isEmpty)
+  }
+
   test("snapshot resume is per-table: earlier stages skip even after later commits") {
     val root = java.nio.file.Files.createTempDirectory("snaps2").toString
     val a = Seq((1L, "a")).toDF("id", "v")

@@ -307,8 +307,18 @@ object TextOps {
     val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct().localCheckpoint(eager = false)
-    var lab = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+    // only PAIR ENDPOINTS enter the iteration — an isolated vertex is its own
+    // cluster by definition and joins back in one pass at the end. Dedup
+    // graphs touch a small fraction of the corpus, so the loop's tables are
+    // |endpoints|-sized, not |corpus|-sized.
+    var lab = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(eager = false)
+    // per-node labels are non-increasing (min over a monotone set), so the
+    // label SUM strictly decreases while anything moves — the convergence
+    // test is ONE aggregate on the new table (exact decimal: long sums of
+    // 64-bit ids overflow at scale), no join against the previous round
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       val viaNeighbors = sym.join(lab.withColumnRenamed("id", "v"), "v")
@@ -319,12 +329,15 @@ object TextOps {
       val next = lab.unionByName(viaNeighbors).unionByName(viaParent)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(eager = false)
-      // ONE action: materializes `next` and counts still-moving labels
-      converged = next.join(lab.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
+      // THE per-round action: materializes `next` and reads the label sum
+      val sum0 = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(sum0) == 0
+      prevSum = sum0
       lab = next
     }
-    lab.select(col("id").as(idCol), col("label").as("cluster"))
+    vertices.select(col(idCol))
+      .join(lab.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster"))
   }
 
   /** EXACT n-gram Jaccard similarity join: every pair with Jaccard >=

@@ -179,7 +179,7 @@ object Bench {
     // the two levels across several fresh JVMs and take per-level minima so
     // both sample at least one clean window under identical conditions.
     val n1 = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
     var outRows = 0L
     val pairs = (1 to reps).map { _ =>
       val a = runAt(n1)

@@ -202,6 +202,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -- cross-modal QA: caption conflicts among image near-duplicates --
+    "mm_caption_conflicts" -> ((s, d) => {
+      // image+caption rows (input_hint shape): clones keep the source
+      // caption except every second clone, which is relabeled — the
+      // mislabeled-duplicate defect the report must surface
+      val sm = udf((i: Long) => Fixtures.splitmix64(i))
+      val base = t(s, d, "events").select(col("event_id").as("image_id"),
+        sm(col("event_id")).as("phash"),
+        concat(lit("cap-"), (col("event_id") % 7).cast("string")).as("caption"))
+      val clones = t(s, d, "events").where(col("event_id") % 101 === 0)
+        .select((col("event_id") + 10000000L).as("image_id"),
+          sm(col("event_id")).bitwiseXOR(lit(3L)).as("phash"),
+          when(col("event_id") % 202 === 0, lit("cap-x"))
+            .otherwise(concat(lit("cap-"), (col("event_id") % 7).cast("string"))).as("caption"))
+      ImageOps.captionConflicts(base.unionByName(clones), maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"), col("caption_match"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- similarity search --
     "ann_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -986,6 +1006,35 @@ object SparkEntry {
          |  FROM cand JOIN allv va ON va.id = cand.id_a JOIN allv vb ON vb.id = cand.id_b)
          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM verified
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // -- caption conflicts: the phash band join + string-equality flag --
+    "mm_caption_conflicts" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("seedp", Seq("id"))
+      s"""WITH seedp AS (SELECT event_id AS id, CAST(event_id AS HUGEINT) AS z FROM events),
+         |$smCtes,
+         |allv AS (
+         |  SELECT id, h, concat('cap-', CAST(id % 7 AS VARCHAR)) AS caption FROM $smOut
+         |  UNION ALL
+         |  SELECT id + 10000000 AS id, ${x64("h", "3")} AS h,
+         |    CASE WHEN id % 202 = 0 THEN 'cap-x'
+         |         ELSE concat('cap-', CAST(id % 7 AS VARCHAR)) END AS caption
+         |  FROM $smOut WHERE id % 101 = 0),
+         |banded AS (
+         |  SELECT id, b.b AS bb,
+         |    CAST((h // CAST(power(2, b.b * 16) AS HUGEINT)) % 65536 AS BIGINT) AS bk
+         |  FROM allv CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+         |  FROM banded a JOIN banded c ON a.bb = c.bb AND a.bk = c.bk AND a.id < c.id),
+         |verified AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |    bit_count(xor(${u2s("va.h")}, ${u2s("vb.h")})) AS hamming,
+         |    va.caption = vb.caption AS caption_match
+         |  FROM cand JOIN allv va ON va.id = cand.id_a JOIN allv vb ON vb.id = cand.id_b)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming, caption_match
+         |FROM verified WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
     // -- simhash replayed exactly: FNV-1a byte chain + splitmix64 (staged

@@ -20,6 +20,30 @@ object ImageOps {
       phash: Long, psnr_db: Double, mean_r: Double, mean_g: Double, mean_b: Double,
       decoded_ok: Boolean)
 
+  /**
+   * Cross-modal consistency QA over an image+caption table (the input_hint
+   * row shape): among image NEAR-DUPLICATE pairs (phash Hamming <= hamming
+   * bound), flag pairs whose captions disagree — near-identical images
+   * carrying different labels are the classic mislabeled-duplicate defect a
+   * training pipeline must surface before dedup keeps an arbitrary one.
+   * Returns (id_a, id_b, hamming, caption_match); downstream filters
+   * `!caption_match` for the conflict report. Same banded join as
+   * phashNearDupPairs — captions re-attach by id.
+   */
+  def captionConflicts(images: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "image_id",
+                       phashCol: String = "phash",
+                       captionCol: String = "caption"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = phashNearDupPairs(images, maxHamming, idCol, phashCol)
+    val caps = images.select(col(idCol), col(captionCol))
+    pairs
+      .join(caps.select(col(idCol).as("id_a"), col(captionCol).as("cap_a")), "id_a")
+      .join(caps.select(col(idCol).as("id_b"), col(captionCol).as("cap_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("cap_a") === col("cap_b")).as("caption_match"))
+  }
+
   /** Image near-duplicate PAIRS by perceptual hash: 4x16-bit banded Hamming
     * join over the `phash` column (TextOps.hammingPairs64) — the image-space
     * member of the dedup family next to text simhash. Recall is exact to

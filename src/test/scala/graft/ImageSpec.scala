@@ -39,6 +39,23 @@ class ImageSpec extends SparkSuite {
     assert(java.util.Arrays.equals(r1, r2))
   }
 
+  test("captionConflicts flags near-identical images with disagreeing captions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (0L until 200L).map(i =>
+      (i, Fixtures.splitmix64(i), s"cap-${i % 5}")).toDF("image_id", "phash", "caption")
+    // clone of 7 with the SAME caption, clone of 10 RELABELED
+    val clones = Seq(
+      (10007L, Fixtures.splitmix64(7L) ^ 1L, "cap-2"),   // 7 % 5 = 2 -> match
+      (10010L, Fixtures.splitmix64(10L) ^ 1L, "cap-x"))  // conflict
+      .toDF("image_id", "phash", "caption")
+    val got = ImageOps.captionConflicts(base.unionByName(clones), maxHamming = 3)
+      .select("id_a", "id_b", "caption_match").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(got((7L, 10007L)) === true)
+    assert(got((10L, 10010L)) === false, "relabeled near-dup must flag as conflict")
+  }
+
   test("images generator is deterministic (same seed, same bytes)") {
     val a = Fixtures.imageRow(42L)
     val b = Fixtures.imageRow(42L)

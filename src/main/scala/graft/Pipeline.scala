@@ -42,6 +42,16 @@ object Pipeline {
       out
     }
 
+    // decode stage: the north rule's per-row invariant (each image decoded
+    // ONCE; PSNR >= 40 dB for lossy, caption byte-equality) recorded as a
+    // committed table — the payload-bearing slice of the run (decode cost
+    // scales with bytes, so it samples; the metadata stages run at nRows)
+    staged("decode", Seq("fixtures:images")) {
+      graft.operators.ImageOps.decodeFeatures(
+        Fixtures.images(spark, math.min(nRows, 5000L))).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("fmt"),
+          (col("psnr_db") >= 40.0).as("psnr_ok"), col("caption"), col("decoded_ok"))
+    }
     val images = staged("images", Seq("fixtures:imagesMeta")) {
       Fixtures.imagesMeta(spark, nRows, partitions)
     }

@@ -15,9 +15,15 @@ class PipelineSpec extends SparkSuite {
   test("first run computes all stages and records per-stage metrics + lineage") {
     val root = java.nio.file.Files.createTempDirectory("graft-pipe").toString
     val reports = Pipeline.run(spark, root, n, partitions = 8)
-    assert(reports.map(_.table) == Seq("images", "pip", "tiles"))
+    assert(reports.map(_.table) == Seq("decode", "images", "pip", "tiles"))
+    // the decode stage records the per-row invariant results
+    val decodeSnap = Snapshots.latestFor(root, "decode").get
+    val dec = spark.read.parquet(decodeSnap.dataPath)
+    assert(dec.where(col("psnr_ok") && col("decoded_ok")).count() == dec.count(),
+      "every decoded image must meet the PSNR >= 40 dB / decoded_ok invariant")
     assert(reports.forall(r => !r.reused && r.rows > 0 && r.bytes > 0 && r.files > 0))
     assert(reports.find(_.table == "pip").get.lineage == Seq("images"))
+    assert(reports.find(_.table == "decode").get.lineage == Seq("fixtures:images"))
     assert(reports.find(_.table == "tiles").get.lineage == Seq("pip"))
     // the manifest records per-partition file metrics (north-rule lineage)
     val manifest = java.nio.file.Files.readString(

@@ -474,7 +474,11 @@ object Graph {
         graft.functions.CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
     val small = features.select(col("fid").as("site_id"),
       col("lat").as("site_lat"), col("lng").as("site_lng"))
-    val nearest = SpatialJoins.knnJoin(big, small, k = 1, level = level)
+    // the distance cap flows INTO the ring loop: sites provably farther than
+    // maxMeters from every node settle on the first qualifying ring instead
+    // of hunting their true nearest across a doubling disk
+    val nearest = SpatialJoins.knnJoin(big, small, k = 1, level = level,
+        maxDistance = Some(maxMeters))
       .where(col("__dist") <= maxMeters)
     val accessEdges = nearest.select(
       col("site_id").as("src"), col("point_id").as("dst"), col("__dist").as("cost_m"))

@@ -94,9 +94,17 @@ object SpatialJoins {
    * provably <= the minimum distance to any cell outside its disk — so results
    * are EXACT, while only a small neighborhood of the big table is scanned.
    */
+  /** With `maxDistance` set, neighbors beyond it are not wanted: a site
+    * whose disk boundary is already >= maxDistance away settles with
+    * whatever it found (possibly fewer than k rows) — anything outside the
+    * disk is provably farther than the cap, so the un-found remainder would
+    * be filtered by the caller anyway. Cuts the hunt for sites far from any
+    * point (e.g. features beyond connect-to-network's threshold) to the
+    * first qualifying ring instead of doubling to the grid limit. */
   def knnJoin(points: DataFrame, sites: DataFrame, k: Int, level: Int = 10,
               pointCell: String = "cell16",
-              siteLat: String = "site_lat", siteLng: String = "site_lng"): DataFrame = {
+              siteLat: String = "site_lat", siteLng: String = "site_lng",
+              maxDistance: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = points.sparkSession
     graft.functions.CellExprs.install(spark)
@@ -165,11 +173,16 @@ object SpatialJoins {
         lit(degPerCell * metersPerDegLat),
         cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat))
       val gridExhausted = ring >= (1L << level)
+      // capped mode: once the disk boundary is provably >= maxDistance away,
+      // the site settles with its current rows — everything outside would be
+      // filtered by the caller's cap anyway
+      val capSettled = maxDistance
+        .map(md => lit(ring.toDouble) * minDim >= lit(md)).getOrElse(lit(false))
       val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .withColumn("__ok",
           if (gridExhausted) lit(true)
-          else count(lit(1)).over(wSite) === k &&
-            max(col("__dist")).over(wSite) <= lit(ring.toDouble) * minDim)
+          else (count(lit(1)).over(wSite) === k &&
+            max(col("__dist")).over(wSite) <= lit(ring.toDouble) * minDim) || capSettled)
       val finished = top.where(col("__ok")).drop("__ok", "__pc", "__sc")
       // THE per-ring action: materializes this ring's delta checkpoint and
       // brings home the rows of every site that settled this ring
@@ -178,9 +191,20 @@ object SpatialJoins {
       settledRows ++= rows
       val settledIds = rows.iterator.map(_.getAs[Any]("site_id")).toSet
       val siteIdIdx = siteSchema.fieldIndex("site_id")
+      // a cap-settled site with ZERO candidates emits no row, so the active
+      // pruning replays the cap test driver-side (identical JVM double
+      // arithmetic to the Column form above)
+      val latIdx = siteSchema.fieldIndex(siteLat)
+      def capSettledDriver(lat: Double): Boolean = maxDistance.exists { md =>
+        val extreme = math.min(90.0, math.abs(lat) + (ring + 1).toDouble * degPerCell)
+        val minDimD = math.min(degPerCell * metersPerDegLat,
+          math.cos(math.toRadians(extreme)) * 2.0 * 0.99 * degPerCell * metersPerDegLat)
+        ring.toDouble * minDimD >= md
+      }
       active =
         if (gridExhausted) Array.empty
-        else active.filterNot(r => settledIds.contains(r.get(siteIdIdx)))
+        else active.filterNot(r => settledIds.contains(r.get(siteIdIdx)) ||
+          capSettledDriver(r.getDouble(latIdx)))
       prevRing = ring
       ring *= 2
     }

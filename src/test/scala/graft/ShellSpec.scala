@@ -517,6 +517,34 @@ class ShellSpec extends SparkSuite {
     assert(ba.columns.toSeq == Seq("origin", "node", "dist_m"))
   }
 
+  test("eval: refs-plane registry — point-paths / point-features over Env.refs") {
+    import spark.implicits._
+    val refsWorld = Seq(
+      (1L, "point"), (2L, "point"), (3L, "point")
+    ).toDF("v", "t").select(
+      org.apache.spark.sql.functions.struct(
+        c_("t").as("ftype"),
+        org.apache.spark.sql.functions.lit("graft/refs").as("ns"),
+        c_("v").as("value")).as("id"),
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("#stop"),
+        org.apache.spark.sql.functions.lit("1")).as("tags"))
+    val refs = Seq(
+      ("path", 100L, "point", 1L, "", 0),
+      ("path", 101L, "point", 1L, "", 0),
+      ("relation", 200L, "point", 2L, "stop", 0)
+    ).toDF("from_type", "from_id", "to_type", "to_id", "role", "pos")
+    val env = Shell.Env(refsWorld, None, None, Some(refs))
+    val pp = Shell.run(env, "find [#stop] | point-paths")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == Set((1L, 100L), (1L, 101L)), s"point-paths gave $pp")
+    val pf = Shell.run(env, "find [#stop] | point-features")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(pf == Set((1L, "path", 100L), (1L, "path", 101L), (2L, "relation", 200L)))
+  }
+
   test("eval: materialise reads back a registered named plan (materialise.go:37-80)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-shell-mat").toString

@@ -37,9 +37,15 @@ object Fixtures {
     s"SELECT event_id AS point_id, $latSql AS lat, $lngSql AS lng, event_type FROM events"
 
   /** Spark-side derived points: (point_id, lat, lng, event_type, cell16). */
-  def points(spark: SparkSession, dir: String): DataFrame = {
-    CellExprs.install(spark)
-    spark.read.parquet(s"$dir/events.parquet")
+  def points(spark: SparkSession, dir: String): DataFrame =
+    pointCols(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** The same derivation over ANY events-shaped frame — batch or STREAMING
+    * (the lat/lng/cell16 columns are per-row arithmetic, so the plan is
+    * streaming-compatible as-is). */
+  def pointCols(events: DataFrame): DataFrame = {
+    CellExprs.install(events.sparkSession)
+    events
       .select(
         col("event_id").as("point_id"),
         expr(latSql).as("lat"),

@@ -136,6 +136,20 @@ object Streaming {
     out.drop("__h")
   }
 
+  /**
+   * Streaming raster plane: per-tile event counts over an event STREAM —
+   * the tile assignment (Mercator arithmetic, graft.operators.SpatialJoins)
+   * is stateless per-row work, so only the final count carries state; the
+   * identical plan runs on a batch frame with identical results. The
+   * streaming member of the spatial family next to the batch flagship.
+   */
+  def streamingTileCounts(events: DataFrame, zoom: Int = 12): DataFrame = {
+    val pts = graft.model.Fixtures.pointCols(events)
+    graft.operators.SpatialJoins.tileAssignment(pts, zoom)
+      .groupBy(col("tile_xx").as("tx"), col("tile_yy").as("ty"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Run a streaming query over parquet-backed events into an in-memory table
     * and return the materialised result (local smoke / tests). */
   def runStreamToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -12,6 +12,22 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming tile counts equal the batch plan over the same events (raster plane)") {
+    val batchEvents = spark.read.parquet(s"$sf001/events.parquet")
+    val batch = Streaming.streamingTileCounts(batchEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-tile-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = Streaming.streamingTileCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("st_tiles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("st_tiles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming exact dedup keeps one row per content hash (batch == streaming survivors)") {
     import spark.implicits._
     val docs = Seq(

@@ -82,6 +82,22 @@ object Bench {
 
     // part 1: operator inventory timings (skippable for scaling-only runs)
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_SCALING_ONLY").contains("1")
+
+    // camden forks are spread ACROSS the whole bench run (before the
+    // inventory, after it, after scaling): the VM's degraded-CPU windows
+    // last minutes, so consecutive forks all land in the same window —
+    // time-diverse sampling is what makes best-of honest
+    def camdenFork(): (Long, Double) = {
+      val out = forkJvm("graft.CamdenRunner", Seq(cpus.toString))
+      out.linesIterator.find(_.startsWith("RESULT")).map { line =>
+        val parts = line.split(" ")
+        (parts(1).toLong, parts(2).toDouble)
+      }.getOrElse(throw new RuntimeException(
+        s"CamdenRunner failed:\n${out.takeRight(2000)}"))
+    }
+    val camdenRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    if (!scalingOnly) camdenRuns += camdenFork()
+
     val results = if (scalingOnly) Seq.empty else {
       val spark0 = session(cpus)
       // per-query MINIMUM over reps: the VM's noisy-CPU windows last tens of
@@ -107,19 +123,10 @@ object Bench {
     // protocol as the scaling pairs: measured in the tail of the long-lived
     // inventory JVM this block read 0.7 qps two rounds running while
     // standalone fresh-JVM reruns of the same code read 2-3.6 qps.
-    val camden = if (scalingOnly) "" else {
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAMDEN_REPS", "3").toInt
-      val measured = (1 to reps).map { _ =>
-        val out = forkJvm("graft.CamdenRunner", Seq(cpus.toString))
-        Thread.sleep(3000)
-        out.linesIterator.find(_.startsWith("RESULT")).map { line =>
-          val parts = line.split(" ")
-          (parts(1).toLong, parts(2).toDouble)
-        }.getOrElse(throw new RuntimeException(
-          s"CamdenRunner failed:\n${out.takeRight(2000)}"))
-      }
-      val (n, qps) = measured.maxBy(_._2)
-      f""","camden_building_cap":{"rows":$n,"qps":$qps%.1f,"reps_qps":${measured.map(m => f"${m._2}%.2f").mkString("[", ",", "]")}}"""
+    if (!scalingOnly) camdenRuns += camdenFork()
+    def camdenJson: String = if (camdenRuns.isEmpty) "" else {
+      val (n, qps) = camdenRuns.maxBy(_._2)
+      f""","camden_building_cap":{"rows":$n,"qps":$qps%.1f,"reps_qps":${camdenRuns.map(m => f"${m._2}%.2f").mkString("[", ",", "]")}}"""
     }
 
     // isolated heavy queries: re-measure in a fresh JVM and take the better
@@ -143,10 +150,11 @@ object Bench {
     // inventory-only mode: skip the (long) scaling part for per-query timing
     // refreshes; the scaling numbers then echo zeros
     if (sys.env.get("SPARK_GRAFT_BENCH_INVENTORY_ONLY").contains("1")) {
+      camdenRuns += camdenFork() // third time-diverse sample
       val qs0 = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total0 = results2.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"operator inventory sec","value":$total0,"unit":"sec","total_query_sec":$total0,"queries":$qs0$camden,"sf":"$sfDir"}""")
+      println(s"""{"metric":"operator inventory sec","value":$total0,"unit":"sec","total_query_sec":$total0,"queries":$qs0$camdenJson,"sf":"$sfDir"}""")
       return
     }
 
@@ -203,13 +211,15 @@ object Bench {
     val thr4N = scaleRows / sec4N
     val pairsJson = pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
 
+    // third time-diverse camden sample, after the (long) scaling part
+    if (!scalingOnly) camdenRuns += camdenFork()
     val qs = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results2.map(_._2).filter(_ >= 0).sum
     val scaling = f"""{"rows":$scaleRows,"out_rows":$outRows,"cores_n":$n1,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"""+
       f""""rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"""+
       f""""median_pair_efficiency":$medianPairEff%.3f,"pairs_sec":$pairsJson}"""
-    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling$camden,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling$camdenJson,"sf":"$sfDir"}""")
 
     val md =
       f"""

@@ -104,7 +104,22 @@ object SpatialJoins {
   def knnJoin(points: DataFrame, sites: DataFrame, k: Int, level: Int = 10,
               pointCell: String = "cell16",
               siteLat: String = "site_lat", siteLng: String = "site_lng",
-              maxDistance: Option[Double] = None): DataFrame = {
+              maxDistance: Option[Double] = None,
+              distributedThreshold: Int = 50000): DataFrame = {
+    // Auto-select the execution mode by site count: below the threshold the
+    // driver-resident active set (broadcast LocalRelation per ring, settled
+    // rows on the heap) is fastest; above it, million-site callers
+    // (connect-to-network-all over a metro, graph/connectivity.go:39-199)
+    // must keep sites distributed — the driver holds only per-ring counts.
+    val small = sites.limit(distributedThreshold + 1).count() <= distributedThreshold
+    if (small) knnJoinDriver(points, sites, k, level, pointCell, siteLat, siteLng, maxDistance)
+    else knnJoinDistributed(points, sites, k, level, pointCell, siteLat, siteLng, maxDistance)
+  }
+
+  private def knnJoinDriver(points: DataFrame, sites: DataFrame, k: Int, level: Int,
+              pointCell: String,
+              siteLat: String, siteLng: String,
+              maxDistance: Option[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = points.sparkSession
     graft.functions.CellExprs.install(spark)
@@ -210,6 +225,102 @@ object SpatialJoins {
     }
     spark.createDataFrame(
       java.util.Arrays.asList(settledRows.toSeq: _*), resultSchema)
+  }
+
+  /**
+   * Distributed-active-set kNN ring join — identical semantics and guarantee
+   * to the driver-mode loop above, but NOTHING site-sized ever touches the
+   * driver: active sites stay a (checkpointed) DataFrame pruned per ring by
+   * an anti-join against that ring's settled site ids; settled result rows
+   * append as lazy localCheckpoint deltas; the ONLY per-ring action is the
+   * `count()` of the next active set, which transitively materializes the
+   * ring's candidate delta, its settled delta, and the pruned active set.
+   * This is the connect-to-network-all scale path
+   * (graph/connectivity.go:39-199 runs over every building of a metro:
+   * 10^5-10^6 sites), auto-selected by knnJoin above the site-count
+   * threshold.
+   */
+  def knnJoinDistributed(points: DataFrame, sites: DataFrame, k: Int, level: Int = 10,
+              pointCell: String = "cell16",
+              siteLat: String = "site_lat", siteLng: String = "site_lng",
+              maxDistance: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    graft.functions.CellExprs.install(spark)
+    val metersPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
+    val degPerCell = 180.0 / (1L << level).toDouble
+
+    val pts = points.withColumn("__pc", cell_parent_at(col(pointCell), lit(level)))
+
+    // guarantee margin for disk radius `ring`, evaluated per row from the
+    // site latitude column — same formula as driver mode (see there for the
+    // extreme-latitude rationale)
+    def minDim(ring: Int, latCol: Column): Column = {
+      val extremeLat = least(lit(90.0),
+        abs(latCol) + lit((ring + 1).toDouble * degPerCell))
+      least(
+        lit(degPerCell * metersPerDegLat),
+        cos(radians(extremeLat)) * lit(2.0 * 0.99 * degPerCell * metersPerDegLat))
+    }
+    def capSettledCol(ring: Int, latCol: Column): Column = maxDistance
+      .map(md => lit(ring.toDouble) * minDim(ring, latCol) >= lit(md))
+      .getOrElse(lit(false))
+
+    // loop-result schema without running a job (covers the zero-sites case)
+    val emptySettled = pts.limit(0)
+      .join(sites.limit(0).withColumn("__sc", lit(0L)), col("__pc") === col("__sc"))
+      .withColumn("__dist", lit(0.0)).withColumn("rank", lit(1))
+      .drop("__pc", "__sc")
+
+    var active: DataFrame = sites.localCheckpoint(eager = false)
+    var nActive: Long = active.count()
+    var ring = 1
+    var prevRing = 0
+    var deltas: List[DataFrame] = Nil
+    var settled: List[DataFrame] = List(emptySettled)
+    while (nActive > 0) {
+      val siteCell = cell_of(col(siteLat), col(siteLng), lit(level))
+      val annulus =
+        if (prevRing == 0) cell_neighbor_disk(siteCell, lit(ring))
+        else array_except(cell_neighbor_disk(siteCell, lit(ring)),
+          cell_neighbor_disk(siteCell, lit(prevRing)))
+      // only the NEW annulus joins the big side; AQE picks broadcast vs
+      // sort-merge by the actual size of the exploded active-site side
+      val siteCells = active.withColumn("__sc", explode(annulus))
+      val delta = pts.join(siteCells, col("__pc") === col("__sc"))
+        .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
+        .localCheckpoint(eager = false)
+      deltas ::= delta
+      val cand = deltas.reduceLeft(_ unionByName _)
+        .join(active.select(col("site_id")), Seq("site_id"), "left_semi")
+      val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
+      val wSite = Window.partitionBy(col("site_id"))
+      val gridExhausted = ring >= (1L << level)
+      val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .withColumn("__ok",
+          if (gridExhausted) lit(true)
+          else (count(lit(1)).over(wSite) === k &&
+            max(col("__dist")).over(wSite) <= lit(ring.toDouble) * minDim(ring, col(siteLat))) ||
+            capSettledCol(ring, col(siteLat)))
+      val finished = top.where(col("__ok")).drop("__ok", "__pc", "__sc")
+        .localCheckpoint(eager = false)
+      settled ::= finished
+      // prune actives: sites that emitted settled rows this ring (anti-join)
+      // and cap-settled sites with ZERO candidates (pure column test on the
+      // site latitude — no settled row needed)
+      val nextActive =
+        if (gridExhausted) active.limit(0)
+        else active.where(!capSettledCol(ring, col(siteLat)))
+          .join(finished.select(col("site_id")), Seq("site_id"), "left_anti")
+          .localCheckpoint(eager = false)
+      // THE per-ring action: materializes the candidate delta, the settled
+      // delta (via the anti-join's build side) and the pruned active set
+      nActive = if (gridExhausted) 0 else nextActive.count()
+      active = nextActive
+      prevRing = ring
+      ring *= 2
+    }
+    settled.reduceLeft(_ unionByName _)
   }
 
   /**

@@ -83,6 +83,57 @@ class SpatialJoinsSpec extends SparkSuite {
     assert(scans <= 14, s"probe side scanned $scans times — ring lineage is re-executing")
   }
 
+  test("knnJoinDistributed matches the driver-mode loop exactly on the fixture") {
+    val driver = SpatialJoins.knnJoin(Fixtures.points(spark, sf001), Fixtures.sites(spark), 3)
+      .select("site_id", "rank", "point_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dist = SpatialJoins.knnJoinDistributed(
+        Fixtures.points(spark, sf001), Fixtures.sites(spark), 3)
+      .select("site_id", "rank", "point_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(dist == driver, s"missing=${(driver -- dist).take(5)} extra=${(dist -- driver).take(5)}")
+  }
+
+  test("knnJoin auto-selects the distributed active set at 1e5 sites (no driver-resident rows)") {
+    import graft.functions.CellExprs._
+    // 100k sites on a lattice inside a 10k-point grid: the active-site set
+    // would be ~100k Rows on the driver heap in the old mode; the distributed
+    // loop keeps it a checkpointed DataFrame and the only driver values are
+    // per-ring counts. k=1 at level 15 settles nearly everything ring 1.
+    val nSide = 100 // points: 100x100 at 0.005 deg
+    val pts0 = spark.range(nSide.toLong * nSide)
+      .withColumn("point_id", col("id"))
+      .withColumn("lat", lit(50.0) + (col("id") % nSide).cast("double") * lit(0.005))
+      .withColumn("lng", lit(0.0) + floor(col("id") / nSide).cast("double") * lit(0.005))
+      .withColumn("cell16", cell_of(col("lat"), col("lng"), lit(16)))
+      .drop("id")
+    val sSide = 317 // sites: 317*317 > 1e5, trimmed to exactly 1e5
+    val sites0 = spark.range(100000L)
+      .withColumn("site_id", col("id"))
+      .withColumn("site_lat", lit(50.005) + (col("id") % sSide).cast("double") * lit(0.0015))
+      .withColumn("site_lng", lit(0.005) + floor(col("id") / sSide).cast("double") * lit(0.0015))
+      .drop("id")
+    val got = SpatialJoins.knnJoin(pts0, sites0, k = 1, level = 15)
+    // every site settles with exactly one row
+    assert(got.count() == 100000L)
+    // sampled exactness vs brute-force haversine over all 10k points
+    val sampleIds = Seq(0L, 316L, 12345L, 50000L, 77777L, 99999L)
+    val gotSample = got.where(col("site_id").isin(sampleIds: _*))
+      .select("site_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val allPts = (0 until nSide * nSide).map { i =>
+      (i.toLong, 50.0 + (i % nSide) * 0.005, 0.0 + (i / nSide) * 0.005)
+    }
+    sampleIds.foreach { sid =>
+      val slat = 50.005 + (sid % sSide) * 0.0015
+      val slng = 0.005 + (sid / sSide) * 0.0015
+      val best = allPts.map { case (pid, la, ln) =>
+        (pid, GeoOps.haversineMeters(la, ln, slat, slng))
+      }.minBy { case (pid, d) => (d, pid) }._1
+      assert(gotSample(sid) == best, s"site $sid: got ${gotSample(sid)} expected $best")
+    }
+  }
+
   test("withinCap matches brute force") {
     val got = SpatialJoins.withinCap(Fixtures.points(spark, sf001), 51.5353, -0.1258, 1500.0)
       .select("point_id").collect().map(_.getLong(0)).toSet

@@ -460,10 +460,20 @@ object SparkEntry {
         if (coords.isEmpty) Iterator.empty
         else Iterator(GeoOps.toWkb(GeoOps.factory.createMultiPointFromCoords(coords).convexHull()))
       }.collect()
-      val merged = graft.functions.GeoFunctions.convexHullAll(hull.toSeq)
-      val g = GeoOps.fromWkb(merged)
-      Seq((GeoOps.toWkt(g), g.getCoordinates.length.toLong,
-        graft.functions.GeoFunctions.areaM2(g))).toDF("hull_wkt", "n_vertices", "area_m2")
+      val merged = GeoOps.fromWkb(graft.functions.GeoFunctions.convexHullAll(hull.toSeq))
+      // canonical CCW vertex rows + the ascending-fold shoelace area (deg^2):
+      // the DuckDB oracle holds vertices from an INDEPENDENT monotone-chain
+      // hull (GeoOps.convexHullChain, no JTS) as driver literals and replays
+      // the identical area fold — so both the hull vertex set and the
+      // arithmetic are gate-checked. (Metric area stays covered by
+      // GeoFunctionsSpec; trig must not cross the engine boundary.)
+      val open = merged.getCoordinates.dropRight(1).map(c => (c.x, c.y)).toIndexedSeq
+      val verts = GeoOps.canonicalRing(open)
+      val area = GeoOps.shoelaceAscending(verts)
+      verts.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, x, y, verts.length.toLong, area)
+      }.toDF("vertex_idx", "vlng", "vlat", "n_vertices", "area_deg2")
+        .orderBy("vertex_idx")
     }),
 
     // -- vector-tile feature ids (FNV-1, api/tiles.go:10-32) --
@@ -537,6 +547,36 @@ object SparkEntry {
         .select(col("z"), col("x"), col("y"), length(col("mvt")).as("n_bytes"))
         .orderBy("z", "x", "y")
     }),
+    "rd_mvt_cmds" -> ((s, d) => {
+      // the encoder's per-(feature, tile) COMMAND STREAM fully oracled
+      // (renderer/encoder.go:16-60): Mercator projection onto the 4096 tile
+      // grid, MoveTo/LineTo/ClosePath word layout, zigzag deltas — emitted as
+      // word count + an order-weighted integer checksum that DuckDB replays
+      // from the literal fixture rings. Tiles here are the bbox cover of each
+      // geometry (tiles.go:259-294 on the envelope) so the tile set is
+      // SQL-replayable; renderTiles' cell-union cover + byte-level framing
+      // stay covered by rd_mvt rows + RenderSpec's wire-level decode.
+      val z = 14
+      val covers = udf { (wkb: Array[Byte]) =>
+        val env = GeoOps.fromWkb(wkb).getEnvelopeInternal
+        GeoOps.tileCoverBBox(env.getMinY, env.getMinX, env.getMaxY, env.getMaxX, z)
+      }
+      val cmdStat = udf { (wkb: Array[Byte], tile: Long) =>
+        val (gtype, cmds) = graft.render.Mvt.geometryCommands(
+          GeoOps.fromWkb(wkb), GeoOps.tileIdZ(tile), GeoOps.tileIdX(tile), GeoOps.tileIdY(tile))
+        val checksum = cmds.iterator.zipWithIndex
+          .map { case (c, i) => (i + 1).toLong * c }.sum
+        (gtype.toLong, cmds.length.toLong, checksum)
+      }
+      Fixtures.polygons(s)
+        .withColumn("tile", explode(covers(col("geom"))))
+        .withColumn("st", cmdStat(col("geom"), col("tile")))
+        .select(col("poly_id").as("fid"),
+          shiftrightunsigned(col("tile"), 29).bitwiseAND(lit((1L << 29) - 1)).as("tx"),
+          col("tile").bitwiseAND(lit((1L << 29) - 1)).as("ty"),
+          col("st._1").as("gtype"), col("st._2").as("n_cmds"), col("st._3").as("cmd_sum"))
+        .orderBy("fid", "tx", "ty")
+    }),
 
     // -- elevation field (IDW via cell index, SURVEY §2.D) --
     "el_idw" -> ((s, d) => {
@@ -595,6 +635,20 @@ object SparkEntry {
         case Seq((x1, y1), (x2, y2)) => (x1, y1, x2, y2)
       }
     }
+
+  /** Fixture polygon rings in the encoder's vertex order — exterior oriented
+    * CW-in-lon/lat (Mvt.geometryCommands' normalisation), closing duplicate
+    * dropped — as (poly_id, vertex_idx, lng, lat) VALUES literals for the
+    * rd_mvt_cmds oracle. */
+  private lazy val mvtRingVals: String = Fixtures.convexPolygons.flatMap { case (id, _, ring) =>
+    val closed = (ring :+ ring.head)
+      .map { case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y) }.toArray
+    val oriented =
+      if (!org.locationtech.jts.algorithm.Orientation.isCCW(closed)) closed else closed.reverse
+    oriented.dropRight(1).zipWithIndex.map { case (c, i) =>
+      s"($id, $i, ${Fixtures.dblE(c.x)}, ${Fixtures.dblE(c.y)})"
+    }
+  }.mkString(", ")
 
   /** The grid's (undirected) edges as a DuckDB VALUES CTE — the SAME
     * driver-computed doubles the Spark grid uses, so path sums (pure `+`)
@@ -1108,6 +1162,47 @@ object SparkEntry {
          |FROM pts p WHERE p.point_id % 4 IN (0, 2)
          |GROUP BY 1, 2, 3 ORDER BY tx, ty, layer""".stripMargin,
 
+    // -- MVT command stream: Mercator-to-4096-grid projection, zigzag deltas
+    //    and the MoveTo/LineTo/ClosePath word layout replayed over the
+    //    literal fixture rings; checksum is the order-weighted word sum --
+    "rd_mvt_cmds" -> {
+      def zz(e: String) = s"(CASE WHEN ($e) >= 0 THEN 2 * ($e) ELSE -2 * ($e) - 1 END)"
+      def wyTile(latE: String) = // GeoOps.tileY's asinh form (bbox cover)
+        s"(1.0 - ln(tan(radians($latE)) + sqrt(tan(radians($latE)) * tan(radians($latE)) + 1.0)) / pi()) / 2.0"
+      def wyMvt(latE: String) = // Mvt.worldY's 1/cos form (pixel coords)
+        s"(1.0 - ln(tan(radians($latE)) + 1.0 / cos(radians($latE))) / pi()) / 2.0"
+      s"""WITH ring AS (SELECT CAST(c0 AS BIGINT) AS pid, CAST(c1 AS BIGINT) AS i, c2 AS x, c3 AS y
+         |  FROM (VALUES $mvtRingVals) t(c0, c1, c2, c3)),
+         |bbox0 AS (SELECT pid, min(x) AS lngLo, max(x) AS lngHi, min(y) AS latLo, max(y) AS latHi,
+         |  count(*) AS nv FROM ring GROUP BY pid),
+         |bbox AS (SELECT pid, nv,
+         |  CAST(floor((lngLo + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x0,
+         |  CAST(floor((lngHi + 180.0) / 360.0 * 16384.0) AS BIGINT) AS x1,
+         |  CAST(floor(${wyTile("latHi")} * 16384.0) AS BIGINT) AS y0,
+         |  CAST(floor(${wyTile("latLo")} * 16384.0) AS BIGINT) AS y1
+         |  FROM bbox0),
+         |txs AS (SELECT pid, unnest(range(x0, x1 + 1)) AS tx FROM bbox),
+         |tys AS (SELECT pid, unnest(range(y0, y1 + 1)) AS ty FROM bbox),
+         |tiles AS (SELECT t.pid, t.tx, y.ty FROM txs t JOIN tys y ON y.pid = t.pid),
+         |pc AS (SELECT tl.pid, tl.tx, tl.ty, r.i,
+         |  CAST(floor(((r.x + 180.0) / 360.0 * 16384.0 - tl.tx) * 4096.0 + 0.5) AS BIGINT) AS px,
+         |  CAST(floor((${wyMvt("r.y")} * 16384.0 - tl.ty) * 4096.0 + 0.5) AS BIGINT) AS py
+         |  FROM tiles tl JOIN ring r ON r.pid = tl.pid),
+         |dc AS (SELECT pid, tx, ty, i, px, py,
+         |  lag(px) OVER (PARTITION BY pid, tx, ty ORDER BY i) AS qx,
+         |  lag(py) OVER (PARTITION BY pid, tx, ty ORDER BY i) AS qy FROM pc),
+         |trm AS (SELECT pid, tx, ty,
+         |  CASE WHEN i = 0 THEN 2 * ${zz("px")} + 3 * ${zz("py")}
+         |       ELSE (3 + 2 * i) * ${zz("px - qx")} + (4 + 2 * i) * ${zz("py - qy")} END AS t
+         |  FROM dc),
+         |agg AS (SELECT pid, tx, ty, CAST(sum(t) AS BIGINT) AS vsum FROM trm GROUP BY 1, 2, 3)
+         |SELECT a.pid AS fid, a.tx, a.ty, CAST(3 AS BIGINT) AS gtype,
+         |  CAST(2 * b.nv + 3 AS BIGINT) AS n_cmds,
+         |  CAST(a.vsum + 9 + 4 * (2 + 8 * (b.nv - 1)) + 15 * (2 * b.nv + 3) AS BIGINT) AS cmd_sum
+         |FROM agg a JOIN bbox b ON b.pid = a.pid
+         |ORDER BY fid, tx, ty""".stripMargin
+    },
+
     // -- sightline ray cast: the 2x2 segment-intersection solve over literal
     //    rational directions and fixture edges, +,-,*,/ only --
     "sl_rays" -> {
@@ -1137,14 +1232,14 @@ object SparkEntry {
          |FROM cast0 GROUP BY 1, 2 ORDER BY origin_id, ray_idx""".stripMargin
     },
 
-    // geo_hull: convex hulls are not ANSI-SQL-expressible without an O(n^3)
-    // half-plane scan — rows-only; exactness covered by the ScalaTest oracle.
+    // geo_hull: oracled via oracleSqlDynamic (monotone-chain hull vertices as
+    // driver literals + DuckDB-side shoelace fold).
     // mm_decode / rd_mvt / rd_basemap / sl_sightline: rows-only (binary image
     // decode / protobuf tile bytes / the trig-angle visibility polygon are
     // not SQL) — exactness covered by the ScalaTest wire-level and golden
     // oracles, and their SQL-expressible halves are oracled separately:
-    // rd_assign (tile assignment + rule gate + layer pick) and sl_rays (the
-    // per-ray occlusion core).
+    // rd_assign (tile assignment + rule gate + layer pick), rd_mvt_cmds (the
+    // full encoder command stream) and sl_rays (the per-ray occlusion core).
   )
 
   /** Shared trained-IVF codebook for the ann_ivf_trained query and its
@@ -1167,6 +1262,29 @@ object SparkEntry {
    * back the identical IEEE bits.
    */
   def oracleSqlDynamic(spark: SparkSession, sfDir: String): Map[String, String] = {
+    // geo_hull: hull vertices recomputed by the JTS-independent monotone
+    // chain (GeoOps.convexHullChain) over the capped point set, embedded as
+    // literals; DuckDB recomputes n_vertices and replays the ascending
+    // shoelace fold itself — vertex set AND arithmetic both checked.
+    val cappedLngLat = graft.operators.SpatialJoins.withinCap(
+        Fixtures.points(spark, sfDir), 51.5353, -0.1258, 2000.0)
+      .select("lng", "lat").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val hullVerts = graft.core.GeoOps.canonicalRing(
+      graft.core.GeoOps.convexHullChain(cappedLngLat))
+    val hullVals = hullVerts.zipWithIndex.map { case ((x, y), i) =>
+      s"($i, ${Fixtures.dblE(x)}, ${Fixtures.dblE(y)})"
+    }.mkString(", ")
+    val geoHullSql =
+      s"""WITH v AS (SELECT CAST(c0 AS BIGINT) AS i, c1 AS x, c2 AS y
+         |  FROM (VALUES $hullVals) t(c0, c1, c2)),
+         |trm AS (SELECT i,
+         |  x * coalesce(lead(y) OVER (ORDER BY i), (SELECT y FROM v WHERE i = 0))
+         |  - coalesce(lead(x) OVER (ORDER BY i), (SELECT x FROM v WHERE i = 0)) * y AS t
+         |  FROM v)
+         |SELECT v.i AS vertex_idx, v.x AS vlng, v.y AS vlat,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vertices,
+         |  (SELECT list_reduce(list(t ORDER BY i), (a, b) -> a + b) FROM trm) * 5e-1 AS area_deg2
+         |FROM v ORDER BY vertex_idx""".stripMargin
     val cents = trainedIvfCentroids(spark, sfDir)
     val centValues = cents.zipWithIndex.map { case (c, l) =>
       s"($l, CAST(${c.map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))"
@@ -1177,6 +1295,7 @@ object SparkEntry {
     } yield s"($s, $j, CAST(${cbs(s)(j).map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))")
       .mkString(", ")
     Map(
+      "geo_hull" -> geoHullSql,
       // PQ/ADC replay: assignment argmax + ascending-subspace list_reduce
       // folds mirror the engine's sequential-double accumulation exactly
       "ann_pq" ->

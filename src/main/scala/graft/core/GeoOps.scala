@@ -235,6 +235,62 @@ object GeoOps {
   def gridAtLevel(wkb: Array[Byte], level: Int): Array[Long] =
     covering(fromWkb(wkb), level, Int.MaxValue)
 
+  /** Andrew's monotone-chain convex hull over (x, y) pairs — the
+    * JTS-independent driver-side oracle path for reachable-area/convex-hull
+    * semantics (src/diagonal.works/b6/api/functions/geometry.go:207-232).
+    * Cross-product signs are decided in exact BigDecimal arithmetic so
+    * exactly-collinear triples are eliminated identically to JTS's robust
+    * orientation predicate. Returns the hull CCW starting at the
+    * lexicographically smallest (x, y) vertex. */
+  def convexHullChain(pts: Seq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    val sorted = pts.distinct.sorted.toIndexedSeq
+    if (sorted.length <= 2) return sorted
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Int = {
+      val ox = BigDecimal(o._1); val oy = BigDecimal(o._2)
+      ((BigDecimal(a._1) - ox) * (BigDecimal(b._2) - oy) -
+        (BigDecimal(a._2) - oy) * (BigDecimal(b._1) - ox)).signum
+    }
+    def half(ps: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      ps.foreach { p =>
+        while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.toIndexedSeq
+    }
+    half(sorted).dropRight(1) ++ half(sorted.reverse).dropRight(1)
+  }
+
+  /** Canonical form of an OPEN simple ring: oriented CCW (exact-shoelace
+    * sign), rotated so the lexicographically smallest (x, y) vertex is
+    * first — the deterministic vertex order shared by the geo_hull query and
+    * its DuckDB oracle literals. */
+  def canonicalRing(open: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    if (open.length <= 2) return open.sorted
+    val sign = open.indices.foldLeft(BigDecimal(0)) { (s, i) =>
+      val (x1, y1) = open(i); val (x2, y2) = open((i + 1) % open.length)
+      s + BigDecimal(x1) * BigDecimal(y2) - BigDecimal(x2) * BigDecimal(y1)
+    }.signum
+    val ccw = if (sign >= 0) open else open.reverse
+    val m = ccw.indices.minBy(ccw)
+    ccw.drop(m) ++ ccw.take(m)
+  }
+
+  /** Shoelace area over an open ring, terms summed in ASCENDING vertex order
+    * (the fixed fold DuckDB's `list_reduce(list(t ORDER BY i), ...)` replays
+    * bit-exactly). */
+  def shoelaceAscending(verts: IndexedSeq[(Double, Double)]): Double = {
+    var area = 0.0
+    var i = 0
+    while (i < verts.length) {
+      val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+      area += x1 * y2 - x2 * y1
+      i += 1
+    }
+    area * 0.5
+  }
+
   /** Boundary polygon of one cell — s2-polygon (api/functions/s2.go:66-74). */
   def cellPolygonWkb(cell: Long): Array[Byte] = {
     val (x0, y0) = (Cells.lngLo(cell), Cells.latLo(cell))

@@ -123,10 +123,15 @@ object Bench {
     // protocol as the scaling pairs: measured in the tail of the long-lived
     // inventory JVM this block read 0.7 qps two rounds running while
     // standalone fresh-JVM reruns of the same code read 2-3.6 qps.
-    if (!scalingOnly) camdenRuns += camdenFork()
+    if (!scalingOnly) { camdenRuns += camdenFork(); camdenRuns += camdenFork() }
+    // HEADLINE = MEDIAN of the (>=5) time-diverse fresh-JVM forks — best-of
+    // is a generous estimator on a bimodal VM, so the median fork is the
+    // reported qps, with best + raw reps kept alongside for transparency
     def camdenJson: String = if (camdenRuns.isEmpty) "" else {
-      val (n, qps) = camdenRuns.maxBy(_._2)
-      f""","camden_building_cap":{"rows":$n,"qps":$qps%.1f,"reps_qps":${camdenRuns.map(m => f"${m._2}%.2f").mkString("[", ",", "]")}}"""
+      val sorted = camdenRuns.sortBy(_._2)
+      val (n, median) = sorted(sorted.length / 2)
+      val best = sorted.last._2
+      f""","camden_building_cap":{"rows":$n,"qps":$median%.1f,"qps_best":$best%.1f,"reps_qps":${camdenRuns.map(m => f"${m._2}%.2f").mkString("[", ",", "]")}}"""
     }
 
     // isolated heavy queries: re-measure in a fresh JVM and take the better
@@ -150,7 +155,7 @@ object Bench {
     // inventory-only mode: skip the (long) scaling part for per-query timing
     // refreshes; the scaling numbers then echo zeros
     if (sys.env.get("SPARK_GRAFT_BENCH_INVENTORY_ONLY").contains("1")) {
-      camdenRuns += camdenFork() // third time-diverse sample
+      camdenRuns += camdenFork(); camdenRuns += camdenFork() // 5 total
       val qs0 = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total0 = results2.map(_._2).filter(_ >= 0).sum
@@ -211,8 +216,9 @@ object Bench {
     val thr4N = scaleRows / sec4N
     val pairsJson = pairs.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
 
-    // third time-diverse camden sample, after the (long) scaling part
-    if (!scalingOnly) camdenRuns += camdenFork()
+    // two final time-diverse camden samples, after the (long) scaling part
+    // -> 5 forks total spread across the whole run
+    if (!scalingOnly) { camdenRuns += camdenFork(); camdenRuns += camdenFork() }
     val qs = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results2.map(_._2).filter(_ >= 0).sum

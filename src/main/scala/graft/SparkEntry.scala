@@ -284,7 +284,14 @@ object SparkEntry {
       val dupes = e.where(col("vec_id") < 10)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"), col("label"))
-      graft.operators.Ann.cosineNearDupPairs(e.unionByName(dupes), 0.99)
+      // bits/tables sized to the 0.99 threshold: 12-bit signatures make each
+      // table ~16x more selective than the 8-bit default (candidate volume,
+      // not stage latency, dominates this query), while 4 independent tables
+      // keep the theoretical miss bound for a cos=0.99 pair at
+      // (1-(1-0.0255/pi)^12)^4 ~ 7e-5 — and the injected near-parallel dupes
+      // collide in every table
+      graft.operators.Ann.cosineNearDupPairs(e.unionByName(dupes), 0.99,
+          bits = 12, tables = 4, dimHint = Some(64))
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 

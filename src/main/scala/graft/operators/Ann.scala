@@ -94,9 +94,12 @@ object Ann {
   def cosineNearDupPairs(data: DataFrame, threshold: Double, bits: Int = 8,
                          tables: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         maxBucketSize: Int = 1024): DataFrame = {
+                         maxBucketSize: Int = 1024,
+                         dimHint: Option[Int] = None): DataFrame = {
     val spark = data.sparkSession
-    val dim = data.select(size(col(vecCol))).head.getInt(0)
+    // embedding dim: from the caller's schema knowledge when available (skips
+    // a head() job), else probed from the first row
+    val dim = dimHint.getOrElse(data.select(size(col(vecCol))).head.getInt(0))
     val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
     val buckets = udf { (vec: Seq[Float]) =>
       val pl = bp.value

@@ -35,8 +35,12 @@ object ImageOps {
                        phashCol: String = "phash",
                        captionCol: String = "caption"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = phashNearDupPairs(images, maxHamming, idCol, phashCol)
-    val caps = images.select(col(idCol), col(captionCol))
+    // one persisted projection feeds the banded join AND both caption
+    // re-attachments — the caption-bearing input derives once per run
+    val base = images.select(col(idCol), col(phashCol), col(captionCol))
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
+    val pairs = phashNearDupPairs(base, maxHamming, idCol, phashCol)
+    val caps = base.select(col(idCol), col(captionCol))
     pairs
       .join(caps.select(col(idCol).as("id_a"), col(captionCol).as("cap_a")), "id_a")
       .join(caps.select(col(idCol).as("id_b"), col(captionCol).as("cap_b")), "id_b")

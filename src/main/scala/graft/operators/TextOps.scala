@@ -269,7 +269,10 @@ object TextOps {
   def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
+    // referenced three times (banding + both id re-attach joins) — persist the
+    // narrow (id, sig) projection once instead of re-deriving the input
     val s = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val banded = s.select(col("__id"), explode(
       transform(sequence(lit(0), lit(3)),
         b => struct(b.as("b"),
@@ -303,41 +306,105 @@ object TextOps {
    */
   def dedupClusters(pairs: DataFrame, vertices: DataFrame,
                     idCol: String = "doc_id",
-                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+                    idA: String = "id_a", idB: String = "id_b",
+                    driverEdgeThreshold: Int = 2000000): DataFrame = {
+    // Dual-mode, like SpatialJoins.knnJoin: the pair list is ids-only and a
+    // dedup graph touches a small fraction of the corpus, so below the
+    // threshold (~2M edges = tens of MB of longs) a driver-side union-find
+    // with min-id representatives replaces O(log diameter) rounds of
+    // distributed joins — one collect, one broadcast join back. Above it,
+    // the pointer-doubling label-propagation loop runs fully distributed.
+    val sym0 = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .distinct().localCheckpoint(eager = false)
+    val nEdges = sym0.limit(driverEdgeThreshold + 1).count()
+    if (nEdges <= driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = sym0.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { // min id becomes the root => cluster = min reachable id
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val labels = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toSeq.distinct.map(x => (x, find(x)))
+      val labDf = labels.toDF(idCol, "cluster")
+      vertices.select(col(idCol))
+        .join(org.apache.spark.sql.functions.broadcast(labDf), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    } else dedupClustersWithRounds(sym0, vertices, idCol, "u", "v")._1
+  }
+
+  /** The distributed pointer-doubling mode of [[dedupClusters]], plus the
+    * number of label-propagation rounds run — exposed so the chain-diameter
+    * property spec can assert O(log n) convergence on path graphs. */
+  def dedupClustersWithRounds(pairs: DataFrame, vertices: DataFrame,
+                    idCol: String = "doc_id",
+                    idA: String = "id_a", idB: String = "id_b"): (DataFrame, Int) = {
     val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct().localCheckpoint(eager = false)
     // only PAIR ENDPOINTS enter the iteration — an isolated vertex is its own
     // cluster by definition and joins back in one pass at the end. Dedup
     // graphs touch a small fraction of the corpus, so the loop's tables are
-    // |endpoints|-sized, not |corpus|-sized.
-    var lab = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // |endpoints|-sized, not |corpus|-sized. Round 1 is FUSED into the init:
+    // label = min(id, neighbors) is one groupBy over sym (the label-of-label
+    // hop is a no-op while labels == ids), saving a full round of joins.
+    var lab = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+      .select(col("u").as("id"), least(col("u"), col("__mn")).as("label"))
       .localCheckpoint(eager = false)
     // per-node labels are non-increasing (min over a monotone set), so the
     // label SUM strictly decreases while anything moves — the convergence
     // test is ONE aggregate on the new table (exact decimal: long sums of
     // 64-bit ids overflow at scale), no join against the previous round
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
+    var prevSum: java.math.BigDecimal =
+      lab.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var rounds = 1
+    var converged = prevSum == null // empty pair graph: nothing to propagate
     while (!converged) {
-      val viaNeighbors = sym.join(lab.withColumnRenamed("id", "v"), "v")
-        .select(col("u").as("id"), col("label"))
+      // Three contribution streams per round (hook + compress label
+      // propagation — the two-phase CC shape of Kiveris et al.'s
+      // large-star/small-star, recast as min-label updates):
+      //   neighbors — x learns its neighbors' labels (the correctness
+      //     anchor: at any fixpoint, adjacent nodes share a label);
+      //   HOOK — the ROOT of u (u's current label) learns v's label.
+      //     Without it, pointer jumping stalls on chains: labels point at
+      //     self-labeled local minima and propagation degrades to one hop
+      //     per round (diameter rounds on a path — measured before this
+      //     step existed). Hooking merges adjacent label regions each
+      //     round, halving the region count;
+      //   compress — x takes its label's label (pointer doubling).
+      val edgeLab = sym.join(lab.withColumnRenamed("id", "v"), "v")
+      val viaNeighbors = edgeLab.select(col("u").as("id"), col("label"))
+      val viaHook = edgeLab.withColumnRenamed("label", "lv")
+        .join(lab.withColumnRenamed("id", "u"), "u")
+        .select(col("label").as("id"), col("lv").as("label"))
       val viaParent = lab.join(
         lab.select(col("id").as("label"), col("label").as("label2")), "label")
         .select(col("id"), col("label2").as("label"))
-      val next = lab.unionByName(viaNeighbors).unionByName(viaParent)
+      val next = lab.unionByName(viaNeighbors).unionByName(viaHook)
+        .unionByName(viaParent)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(eager = false)
       // THE per-round action: materializes `next` and reads the label sum
       val sum0 = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-      converged = prevSum != null && prevSum.compareTo(sum0) == 0
+      converged = prevSum.compareTo(sum0) == 0
       prevSum = sum0
       lab = next
+      rounds += 1
     }
-    vertices.select(col(idCol))
+    (vertices.select(col(idCol))
       .join(lab.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster"))
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster")), rounds)
   }
 
   /** EXACT n-gram Jaccard similarity join: every pair with Jaccard >=
@@ -361,8 +428,12 @@ object TextOps {
     // id for the exact verify (same shuffle discipline as dedupMinhashLsh)
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
       .transform(org.apache.spark.sql.graft.PersistOnce(_))
-    val inverted0 = withSh.select(col("__id"), explode(col("__sh")).as("s"))
-      .select(col("__id"), xxhash64(col("s")).as("sh"))
+    // shingle-set size rides along from the (already-distinct) array — no
+    // per-document count window needed; it feeds both the prefix bound and
+    // the size filter below
+    val inverted0 = withSh
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("s"))
+      .select(col("__id"), col("__sz"), xxhash64(col("s")).as("sh"))
     // global document frequency per shingle (one partial-agg shuffle) joins
     // back onto the postings; the per-document window is bounded by the
     // document's own shingle count, never by corpus hot-keys
@@ -370,19 +441,28 @@ object TextOps {
     val wDoc = Window.partitionBy("__id").orderBy(col("__df"), col("sh"))
     val prefix = inverted0.join(dfCounts, "sh")
       .withColumn("__pos", row_number().over(wDoc))
-      .withColumn("__sz", count(lit(1)).over(Window.partitionBy("__id")))
       .where(col("__pos") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
-      .select("__id", "sh")
-    val candidates = prefix.as("a").join(prefix.as("b"), "sh")
-      .where(col("a.__id") < col("b.__id"))
+      .select("__id", "sh", "__sz")
+    // size filter (AllPairs length bound): J(A,B) >= t requires
+    // t * max(|A|,|B|) <= min(|A|,|B|); the +1 slack keeps borderline pairs
+    // whose real t*max == min from being lost to double rounding — the exact
+    // verify below remains the gate
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.__id") < col("b.__id") &&
+          greatest(col("a.__sz"), col("b.__sz")) * lit(threshold) <=
+            least(col("a.__sz"), col("b.__sz")) + lit(1.0))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct), so one
+    // array_intersect pass replaces intersect + union; the integer division
+    // operands — and the double quotient — are identical
     candidates
       .join(withSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(withSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("__int", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("__int").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__int")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

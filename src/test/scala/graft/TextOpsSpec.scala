@@ -103,10 +103,36 @@ class TextOpsSpec extends SparkSuite {
     val pairs = Seq((1L, 2L), (1L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("id_a", "id_b")
     val vertices = (Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L) ++ Seq(99L)).toDF("doc_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L)
+    // auto mode (driver union-find at this size)
     val got = TextOps.dedupClusters(pairs, vertices)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 99L -> 99L))
+    assert(got == expected)
+    // distributed pointer-doubling mode, forced
+    val gotDist = TextOps.dedupClustersWithRounds(pairs, vertices)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
+  }
+
+  test("dedupClusters distributed mode converges in O(log n) rounds on a 10k path graph") {
+    import spark.implicits._
+    // worst case for label propagation: ten 1000-node CHAINS with scrambled
+    // ids (splitmix64 ranks), so the min label must traverse the full
+    // diameter — pointer doubling must close each chain in ~log2(1000)
+    // rounds, not ~1000
+    val perm = (0L until 10000L).sortBy(i => graft.model.Fixtures.splitmix64(i))
+    val chains = perm.grouped(1000).toSeq
+    val pairs = chains.flatMap(c => c.sliding(2).map(p => (p(0), p(1))).toSeq)
+      .toDF("id_a", "id_b")
+    val vertices = (0L until 10000L).toDF("doc_id")
+    val (labDf, rounds) = TextOps.dedupClustersWithRounds(pairs, vertices)
+    val got = labDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = chains.flatMap(c => { val m = c.min; c.map(_ -> m) }).toMap
+    assert(got == expected)
+    // 2^rounds >= diameter plus init + confirmation slack; without the
+    // label-of-label hop this would be ~1000 rounds
+    assert(rounds <= 16, s"pointer doubling took $rounds rounds for diameter 1000")
   }
 
   test("dedupClusters over ngram pairs equals driver union-find") {

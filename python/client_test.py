@@ -40,4 +40,16 @@ assert {"find", "filter", "map", "count", "distance-meters",
 arities = {f["name"]: f["arity"] for f in manifest["functions"]}
 assert arities["find"] == 1 and arities["closest"] == 3
 
-print("OK %d goldens + manifest(%d functions)" % (len(GOLDENS), len(names)))
+# proto-frame path: the same evaluation through raw NodeProto bytes
+# (add-ints 40 2) and a pipelined (find [...] | count) built client-side
+node = graft_b6.proto_call(graft_b6.proto_symbol("add-ints"),
+                           [graft_b6.proto_int(40), graft_b6.proto_int(2)])
+assert conn.evaluate_proto(node) == 42
+
+inner = graft_b6.proto_call(graft_b6.proto_symbol("find-areas"),
+                            [graft_b6.proto_query_keyed("#building")])
+outer = graft_b6.proto_call(graft_b6.proto_symbol("count"), [inner],
+                            pipelined=True)
+assert conn.evaluate_proto(outer) == 13
+
+print("OK %d goldens + manifest(%d functions) + proto frames" % (len(GOLDENS), len(names)))

@@ -10,6 +10,7 @@ Usage:
     fns   = conn.functions()                           # -> stub manifest
 """
 import json
+import urllib.parse
 import urllib.request
 
 
@@ -47,8 +48,82 @@ class Connection:
             return float(result)
         return result
 
+    def evaluate_proto(self, node_bytes, world=None):
+        """POST a raw NodeProto frame (see proto_node/proto_call below) --
+        the gRPC payload of the reference (expression.py builds the same
+        trees), re-framed over HTTP."""
+        query = "?version=" + self.version
+        if world is not None:
+            query += "&world=" + urllib.parse.quote(world)
+        req = urllib.request.Request(
+            self.base + "/evaluate-proto" + query,
+            data=node_bytes,
+            headers={"Content-Type": "application/x-protobuf"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                out = json.load(r)
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(json.loads(e.read()).get("error", str(e)))
+        kind, result = out["type"], out["result"]
+        if kind == "long":
+            return int(result)
+        if kind == "double":
+            return float(result)
+        return result
+
     # calling the connection evaluates, like diagonal_b6.Connection
     __call__ = evaluate
+
+
+# ---- proto3 NodeProto builders (api.proto:106-149; wire format is the
+# ---- public proto3 spec: varints + length-delimited submessages) ----------
+
+def _varint(v):
+    out = bytearray()
+    v &= (1 << 64) - 1  # int64 two's-complement on the wire
+    while v > 0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _field(num, wire, payload):
+    return _varint((num << 3) | wire) + payload
+
+
+def _len_field(num, payload):
+    return _field(num, 2, _varint(len(payload)) + payload)
+
+
+def proto_symbol(name):
+    """NodeProto{symbol: name}"""
+    return _len_field(1, name.encode("utf-8"))
+
+
+def proto_string(value):
+    """NodeProto{literal{stringValue}}"""
+    return _len_field(2, _len_field(3, value.encode("utf-8")))
+
+
+def proto_int(value):
+    """NodeProto{literal{intValue}} (always emitted: oneof arm)"""
+    return _len_field(2, _field(4, 0, _varint(value)))
+
+
+def proto_query_keyed(key):
+    """NodeProto{literal{queryValue{keyed}}} (api.proto:184-202)"""
+    return _len_field(2, _len_field(9, _len_field(3, key.encode("utf-8"))))
+
+
+def proto_call(function_node, args, pipelined=False):
+    """NodeProto{call{function, args..., pipelined}}"""
+    body = _len_field(1, function_node)
+    for a in args:
+        body += _len_field(2, a)
+    if pipelined:
+        body += _field(3, 0, _varint(1))
+    return _len_field(3, body)
 
 
 def connect_insecure(address):

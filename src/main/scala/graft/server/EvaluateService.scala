@@ -28,14 +28,30 @@ object EvaluateService {
 
   def evaluate(reg: WorldRegistry, expression: String,
                world: Option[String], version: String,
-               maxRows: Int = 1000): EvaluateResult = {
+               maxRows: Int = 1000): EvaluateResult =
+    evaluateWith(reg, world, version,
+      w => Shell.run(w, expression), maxRows)
+
+  /** The protobuf frame path: a NodeProto expression tree
+    * (graft.proto.ExprProto — the reference gRPC payload,
+    * grpc/service.go:26-90) instead of shell text. */
+  def evaluateProto(reg: WorldRegistry, nodeProto: Array[Byte],
+                    world: Option[String], version: String,
+                    maxRows: Int = 1000): EvaluateResult =
+    evaluateWith(reg, world, version,
+      w => Shell.runParsed(Shell.Env(w, None), graft.proto.ExprProto.decode(nodeProto)),
+      maxRows)
+
+  private def evaluateWith(reg: WorldRegistry, world: Option[String],
+                           version: String, runIn: DataFrame => Any,
+                           maxRows: Int): EvaluateResult = {
     if (version.takeWhile(_ != '.') != ApiVersion)
       throw Shell.ShellException(
         s"client version $version is not compatible with b6 version $ApiVersion")
     val id = world.flatMap(Shell.parseFeatureIdToken)
       .map { case (t, ns, v) => WorldId(t, ns, v) }.getOrElse(DefaultWorldId)
     val w = reg.findOrCreate(id)
-    Shell.run(w.features, expression) match {
+    runIn(w.features) match {
       case change: graft.operators.Changes.ChangeSet =>
         // a Change result applies TRANSACTIONALLY to the requested world and
         // the changed ids come back (grpc/service.go:60-67)
@@ -82,6 +98,33 @@ object EvaluateService {
           throw Shell.ShellException("missing field: expression"))
         val result = evaluate(reg, expression, jsonField(body, "world"),
           jsonField(body, "version").getOrElse(ApiVersion))
+        val resp = s"""{"type":"${result.kind}","result":${result.json}}"""
+          .getBytes("UTF-8")
+        exchange.getResponseHeaders.add("Content-Type", "application/json")
+        exchange.sendResponseHeaders(200, resp.length.toLong)
+        exchange.getResponseBody.write(resp)
+        exchange.close()
+      } catch {
+        case e: Exception =>
+          val msg = s"""{"error":"${escape(Option(e.getMessage).getOrElse(e.toString))}"}"""
+            .getBytes("UTF-8")
+          exchange.sendResponseHeaders(400, msg.length.toLong)
+          exchange.getResponseBody.write(msg)
+          exchange.close()
+      }
+    })
+    // POST /evaluate-proto: raw NodeProto bytes in the body (the gRPC
+    // payload, re-framed over HTTP); world + version ride the query string
+    server.createContext("/evaluate-proto", { exchange =>
+      try {
+        val nodeBytes = exchange.getRequestBody.readAllBytes()
+        val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val result = evaluateProto(reg, nodeBytes, params.get("world"),
+          params.getOrElse("version", ApiVersion))
         val resp = s"""{"type":"${result.kind}","result":${result.json}}"""
           .getBytes("UTF-8")
         exchange.getResponseHeaders.add("Content-Type", "application/json")

@@ -464,6 +464,11 @@ object Shell {
   def run(env: Env, expression: String): Any =
     eval(env, simplify(parse(expression)))
 
+  /** Evaluate an already-parsed expression tree — the proto entry point
+    * (grpc/service.go:26-90 evaluates NodeProto trees directly; see
+    * graft.proto.ExprProto). */
+  def runParsed(env: Env, e: Expr): Any = eval(env, simplify(e))
+
   def runDf(world: DataFrame, expression: String): DataFrame =
     run(world, expression).asInstanceOf[DataFrame]
 

@@ -65,9 +65,20 @@ object Shell {
         case ',' | '(' | ')' | '|' | '>' | '{' | '}' | '[' | ']' | '=' | '&' | ':' =>
           out += Punct(c); i += 1
         case '"' =>
-          val end = s.indexOf('"', i + 1)
-          if (end < 0) throw ShellException("unterminated string constant")
-          out += Str(s.substring(i + 1, end)); i = end + 1
+          // backslash escapes inside string constants (\" and \\), so JSON
+          // payloads reach the geojson plane as single shell strings
+          var j = i + 1
+          val sb = new StringBuilder
+          var closed = false
+          while (j < s.length && !closed) {
+            s(j) match {
+              case '\\' if j + 1 < s.length => sb.append(s(j + 1)); j += 2
+              case '"' => closed = true; j += 1
+              case ch => sb.append(ch); j += 1
+            }
+          }
+          if (!closed) throw ShellException("unterminated string constant")
+          out += Str(sb.toString); i = j
         case '/' =>
           var j = i
           while (j < s.length && (s(j).isLetterOrDigit || "./-/_".contains(s(j)) || s(j) == '/')) j += 1
@@ -393,7 +404,7 @@ object Shell {
 
   def unparse(e: Expr, top: Boolean = true): String = e match {
     case SymbolE(s) => s
-    case StringE(s) => "\"" + s + "\""
+    case StringE(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case IntE(v) => v.toString
     case FloatE(v) => f"$v%.2f"
     case LatLngE(a, b) => f"$a%f, $b%f"

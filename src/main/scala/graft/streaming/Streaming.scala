@@ -150,6 +150,48 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Streaming flagship parity: the PIP stage over an ARRIVING-files event
+   * stream, merged per micro-batch into the snapshot table — the north
+   * rule's streaming-ingest analogue of Pipeline's `pip` stage. Each batch
+   * runs the same covering join as the batch flagship (stream-static join —
+   * stateless, the polygon side is the broadcast index side), then
+   * foreachBatch MERGEs (upsert on (point_id, poly_id)) into `pip_stream`
+   * through Snapshots.commit, so every micro-batch is an atomic, lineage-
+   * carrying snapshot ("microbatch:<n>") and a crash resumes from the last
+   * committed batch. Returns the number of micro-batches committed.
+   */
+  def streamingPipMerge(spark: SparkSession, streamDir: String, root: String,
+                        maxFilesPerTrigger: Int = 1): Long = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(streamDir)
+    val pts = graft.model.Fixtures.pointCols(stream)
+    val polygons = graft.model.Fixtures.polygons(spark)
+    // the covering-level probe runs on the STATIC polygon side at plan time,
+    // so the default (None) path is streaming-safe
+    val pip = graft.operators.SpatialJoins.pointInPolygonJoin(pts, polygons)
+      .select(col("point_id"), col("poly_id"), col("lat"), col("lng"))
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = pip.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = graft.checkpoint.Snapshots.latestFor(root, "pip_stream")
+          .map(s => spark.read.parquet(s.dataPath))
+        val merged = cur match {
+          case Some(c) => batch.unionByName(c).dropDuplicates("point_id", "poly_id")
+          case None => batch.dropDuplicates("point_id", "poly_id")
+        }
+        graft.checkpoint.Snapshots.commit(merged, root, "pip_stream",
+          lineage = Seq("events-stream", s"microbatch:$batchId"))
+        batches.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
   /** Run a streaming query over parquet-backed events into an in-memory table
     * and return the materialised result (local smoke / tests). */
   def runStreamToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -545,6 +545,130 @@ class ShellSpec extends SparkSuite {
     assert(pf == Set((1L, "path", 100L), (1L, "path", 101L), (2L, "relation", 200L)))
   }
 
+  test("golden corpus: per-name expressions for the closure tier vs direct oracles") {
+    import org.apache.spark.sql.functions.{coalesce, lit, lower, hex}
+    // -- scalar plane (math.go) --
+    assert(Shell.run(world, "to-str 42") == "42")
+    assert(Shell.run(world, "to-str 2.5") == "2.5")
+    // gt lives in the lambda (Column) plane, like the reference's filters
+    val big = Shell.run(world, "find-areas [#building] | filter {u -> gt (area u) 100.0} | count")
+      .asInstanceOf[Long]
+    val bigDirect = world.where(c_("tags").getItem("#building").isNotNull)
+      .select("geom").collect().count(r => graft.functions.GeoFunctions.areaM2(
+        graft.core.GeoOps.fromWkb(r.getAs[Array[Byte]]("geom"))) > 100.0)
+    assert(big.toInt == bigDirect && big > 0)
+    assert(Shell.run(world, "add 2.0 3.0") == 5.0)
+    assert(Shell.run(world, "divide 8 4") == 2L)
+    assert(Shell.run(world, "clamp 3 0 5") == 3L)
+    assert(Shell.run(world, "add-ints -1 1") == 0L)
+    // -- tag value plane (tags.go) --
+    assert(Shell.run(world, "int-value (tag \"n\" \"42\")") == 42L)
+    assert(Shell.run(world, "float-value (tag \"n\" \"2.5\")") == 2.5)
+    assert(Shell.run(world, "tag \"k\" \"v\" | value") == "v")
+    // -- get plane over real features (vs the tags map directly) --
+    val bNames = Shell.runDf(world, "find [#building] | map {f -> get-string f \"name\"}")
+      .select("value").collect().map(_.getString(0)).toSeq.sorted
+    val bNamesDirect = world.where(c_("tags").getItem("#building").isNotNull)
+      .select(coalesce(c_("tags").getItem("name"), lit("")))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(bNames == bNamesDirect && bNames.exists(_.nonEmpty))
+    val caps = Shell.runDf(world,
+      "find [#amenity=bicycle_parking] | map {f -> get-float f \"capacity\"}")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    val capsDirect = world.where(c_("tags").getItem("#amenity") === "bicycle_parking")
+      .select(coalesce(c_("tags").getItem("capacity").try_cast("double"), lit(0.0)))
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(caps == capsDirect && caps.sum > 0)
+    val gets = Shell.runDf(world, "find [#building] | map {f -> get f \"#building\"}")
+      .select("value").collect().map(_.getString(0)).toSet
+    assert(gets == world.where(c_("tags").getItem("#building").isNotNull)
+      .select(c_("tags").getItem("#building")).collect().map(_.getString(0)).toSet)
+    // -- find plane closure --
+    assert(Shell.run(world, "all-areas | count") ==
+      world.where(c_("id.ftype") === "area").count())
+    assert(Shell.run(world, "find-relations (all) | count") ==
+      world.where(c_("id.ftype") === "relation").count())
+    assert(Shell.run(world, "find (type-path (all)) | count") ==
+      world.where(c_("id.ftype") === "path").count())
+    // containing-areas == the direct PIP join of the same point collection
+    val ca = Shell.run(world, "find (type-point (all)) | containing-areas")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val caDirect = graft.operators.SpatialJoins.pointInPolygonJoin(
+      QueryPlanner.find(world, TypedQ("point", All))
+        .select(c_("id.value").as("point_fid"), c_("lat"), c_("lng"), c_("cell16")),
+      world.where(c_("id.ftype") === "area" && c_("geom").isNotNull)
+        .select(c_("id.value").as("poly_id"), c_("geom"), c_("covering")))
+    assert(ca.select("point_fid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      caDirect.select("point_fid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(ca.count() > 0)
+    // -- geometry closure --
+    val d2p = Shell.runDf(world,
+      "find-areas [#building] | distance-to-point-meters (ll 51.5353 -0.1258)")
+      .select("id.value", "value").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d2pDirect = world.where(c_("tags").getItem("#building").isNotNull)
+      .select("id.value", "geom").collect().map { r =>
+        r.getLong(0) -> graft.functions.GeoFunctions.distanceToPointMeters(
+          graft.core.GeoOps.fromWkb(r.getAs[Array[Byte]]("geom")), 51.5353, -0.1258)
+      }.toMap
+    assert(d2p == d2pDirect)
+    val lens = Shell.runDf(world, "find (type-path (keyed \"#highway\")) | map {f -> length f}")
+      .where(c_("value") > 0).count()
+    assert(lens > 0)
+    val coll = Shell.run(world, "find-areas [#building] | collect-areas")
+      .asInstanceOf[org.locationtech.jts.geom.Geometry]
+    val hull = Shell.run(world, "find-areas [#building] | convex-hull")
+      .asInstanceOf[org.locationtech.jts.geom.Geometry]
+    assert(coll.getArea > 0 && hull.getArea >= coll.getArea * 0.99)
+    assert(Shell.run(world, "find-areas [#building] | get-centroid")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].count() == 13L)
+    val spp = Shell.run(world, "find (type-path (keyed \"#highway\")) | sample-points-along-paths 25.0")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val sppDirect = graft.operators.Paths.samplePointsAlongPaths(
+      QueryPlanner.find(world, TypedQ("path", Keyed("#highway"))), 25.0)
+    assert(spp.count() == sppDirect.count() && spp.count() > 0)
+    // join / ordered-join fuse two path geometries end-to-end
+    val joined = Shell.run(world,
+      "join (rectangle-polygon (ll 51.53 -0.13) (ll 51.54 -0.12)) (rectangle-polygon (ll 51.54 -0.12) (ll 51.55 -0.11))")
+      .asInstanceOf[org.locationtech.jts.geom.Geometry]
+    assert(joined.getNumPoints > 0)
+    // -- apply-to-* gate by feature type --
+    val apPoint = Shell.runDf(world, "find (all) | apply-to-point {f -> get-string f \"name\"}")
+    assert(apPoint.where(c_("id.ftype") =!= "point" && c_("value").isNotNull).count() == 0)
+    val apArea = Shell.runDf(world, "find (all) | apply-to-area {f -> get-string f \"name\"}")
+    assert(apArea.where(c_("id.ftype") === "area" && c_("value").isNotNull).count() ==
+      world.where(c_("id.ftype") === "area").count())
+    val apPath = Shell.runDf(world, "find (all) | apply-to-path {f -> get-string f \"name\"}")
+    assert(apPath.where(c_("value").isNotNull).count() ==
+      world.where(c_("id.ftype") === "path").count())
+    // -- tiles --
+    val hexRow = Shell.runDf(world, "find [#amenity=bicycle_parking] | take 1 | tile-ids-hex").head
+    val hid = hexRow.getStruct(0)
+    assert(hexRow.getString(1) == f"${graft.functions.TileIds.tileFeatureId(
+      0L, hid.getString(1), hid.getLong(2))}%x")
+    // -- geojson plane --
+    val gjPoint = """{"type":"FeatureCollection","features":[{"type":"Feature",
+      "geometry":{"type":"Point","coordinates":[-0.1258,51.5353]},
+      "properties":{"name":"x"}}]}""".replace("\n", "")
+    assert(Shell.run(world,
+      "parse-geojson \"" + gjPoint.replace("\"", "\\\"") + "\"") != null)
+    val imported = Shell.runDf(world,
+      "import-geojson \"" + gjPoint.replace("\"", "\\\"") + "\"")
+    assert(imported.count() == 1L)
+    val gjArea = """{"type":"Feature","geometry":{"type":"Polygon","coordinates":
+      [[[-0.13,51.53],[-0.12,51.53],[-0.12,51.54],[-0.13,51.53]]]},"properties":{}}"""
+      .replace("\n", "")
+    assert(Shell.runDf(world,
+      "geojson-areas \"" + gjArea.replace("\"", "\\\"") + "\"").count() == 1L)
+    // map-geometries applies a geometry transform to parsed features
+    val mg = Shell.run(world,
+      "map-geometries \"" + gjArea.replace("\"", "\\\"") + "\" convex-hull")
+    assert(mg != null)
+    // -- world export --
+    val exp = java.nio.file.Files.createTempDirectory("graft-shell-exp").toString + "/w"
+    assert(Shell.run(world, s"""export-world "$exp"""") == exp)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(exp)).count() > 0)
+  }
+
   test("eval: materialise reads back a registered named plan (materialise.go:37-80)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-shell-mat").toString

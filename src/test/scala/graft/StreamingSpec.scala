@@ -108,4 +108,35 @@ class StreamingSpec extends SparkSuite {
     assert(batchState(("point", "t", 1L)) == f1.tags)
     assert(batchState(("point", "t", 2L)) == f2.tags)
   }
+
+  test("streaming PIP merges micro-batches into the snapshot table == batch flagship stage") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    // two arriving files -> two micro-batches (maxFilesPerTrigger = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pip-stream").toString
+    events.where(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    events.where(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-pip-snap").toString
+
+    val nBatches = Streaming.streamingPipMerge(spark, dir, root)
+    assert(nBatches >= 2, s"expected >=2 micro-batches, got $nBatches")
+
+    // batch flagship PIP over the same (re-read) points
+    val batchPip = graft.operators.SpatialJoins.pointInPolygonJoin(
+        graft.model.Fixtures.pointCols(spark.read.parquet(dir)),
+        graft.model.Fixtures.polygons(spark))
+      .select("point_id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snap = graft.checkpoint.Snapshots.latestFor(root, "pip_stream").get
+    val streamed = spark.read.parquet(snap.dataPath)
+      .select("point_id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPip && batchPip.nonEmpty,
+      s"streamed=${streamed.size} batch=${batchPip.size}")
+    // lineage records the stream source and the micro-batch id
+    assert(snap.lineage.exists(_.startsWith("microbatch:")))
+    assert(snap.lineage.contains("events-stream"))
+    // one committed snapshot per micro-batch (the resumable merge history)
+    assert(graft.checkpoint.Snapshots.history(root, "pip_stream").size == nBatches)
+  }
 }

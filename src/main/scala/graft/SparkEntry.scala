@@ -1239,14 +1239,14 @@ object SparkEntry {
          |FROM cast0 GROUP BY 1, 2 ORDER BY origin_id, ray_idx""".stripMargin
     },
 
-    // geo_hull: oracled via oracleSqlDynamic (monotone-chain hull vertices as
-    // driver literals + DuckDB-side shoelace fold).
-    // mm_decode / rd_mvt / rd_basemap / sl_sightline: rows-only (binary image
-    // decode / protobuf tile bytes / the trig-angle visibility polygon are
-    // not SQL) — exactness covered by the ScalaTest wire-level and golden
-    // oracles, and their SQL-expressible halves are oracled separately:
-    // rd_assign (tile assignment + rule gate + layer pick), rd_mvt_cmds (the
-    // full encoder command stream) and sl_rays (the per-ray occlusion core).
+    // geo_hull / mm_decode: oracled via oracleSqlDynamic (driver-literal hull
+    // vertices + generator-formula decode metadata).
+    // rd_mvt / rd_basemap / sl_sightline: rows-only (protobuf tile bytes /
+    // the trig-angle visibility polygon are not SQL) — exactness covered by
+    // the ScalaTest wire-level and golden oracles, and their SQL-expressible
+    // halves are oracled separately: rd_assign (tile assignment + rule gate +
+    // layer pick), rd_mvt_cmds (the full encoder command stream) and sl_rays
+    // (the per-ray occlusion core).
   )
 
   /** Shared trained-IVF codebook for the ann_ivf_trained query and its
@@ -1301,8 +1301,24 @@ object SparkEntry {
       s <- cbs.indices; j <- cbs(s).indices
     } yield s"($s, $j, CAST(${cbs(s)(j).map(Fixtures.dblE).mkString("[", ", ", "]")} AS DOUBLE[]))")
       .mkString(", ")
+    // mm_decode: the decoded dims/format must equal the generator's intended
+    // params and every row must decode cleanly at >= 40 dB — the oracle
+    // predicts all of it from the deterministic container formula (the
+    // mm_frames pattern), so a decode regression (wrong dims, failed parse,
+    // lossy corruption) fails the gate. Pixel bytes stay spec-covered
+    // (ImageSpec PSNR + byte equality).
+    val mmDecodeN =
+      if (sfDir.contains("0.001")) 200L else if (sfDir.contains("0.01")) 1000L else 5000L
+    val mmDecodeSql =
+      s"""SELECT printf('img-%012d', i) AS image_id,
+         |  CAST([64,128,256][CAST(i % 3 AS INT) + 1] AS INT) AS w,
+         |  CAST([64,96,256][CAST(i % 3 AS INT) + 1] AS INT) AS h,
+         |  ['ppm','png'][CAST(i % 2 AS INT) + 1] AS fmt,
+         |  true AS psnr_ok, true AS decoded_ok
+         |FROM (SELECT unnest(range($mmDecodeN)) AS i) ORDER BY image_id""".stripMargin
     Map(
       "geo_hull" -> geoHullSql,
+      "mm_decode" -> mmDecodeSql,
       // PQ/ADC replay: assignment argmax + ascending-subspace list_reduce
       // folds mirror the engine's sequential-double accumulation exactly
       "ann_pq" ->

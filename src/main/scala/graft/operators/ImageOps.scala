@@ -35,17 +35,13 @@ object ImageOps {
                        phashCol: String = "phash",
                        captionCol: String = "caption"): DataFrame = {
     import org.apache.spark.sql.functions._
-    // one persisted projection feeds the banded join AND both caption
-    // re-attachments — the caption-bearing input derives once per run
-    val base = images.select(col(idCol), col(phashCol), col(captionCol))
-      .transform(org.apache.spark.sql.graft.PersistOnce(_))
-    val pairs = phashNearDupPairs(base, maxHamming, idCol, phashCol)
-    val caps = base.select(col(idCol), col(captionCol))
-    pairs
-      .join(caps.select(col(idCol).as("id_a"), col(captionCol).as("cap_a")), "id_a")
-      .join(caps.select(col(idCol).as("id_b"), col(captionCol).as("cap_b")), "id_b")
+    // captions ride the banded join's own two re-attach joins (carry cols) —
+    // one persisted projection, no extra joins against the input
+    TextOps.hammingPairs64(
+        images.select(col(idCol), col(phashCol), col(captionCol)),
+        idCol, phashCol, maxHamming, carry = Seq(captionCol))
       .select(col("id_a"), col("id_b"), col("hamming"),
-        (col("cap_a") === col("cap_b")).as("caption_match"))
+        (col(s"${captionCol}_a") === col(s"${captionCol}_b")).as("caption_match"))
   }
 
   /** Image near-duplicate PAIRS by perceptual hash: 4x16-bit banded Hamming

@@ -267,11 +267,17 @@ object TextOps {
    * re-attach by id for the verify.
    */
   def hammingPairs64(sig: DataFrame, idCol: String, sigCol: String,
-                     maxHamming: Int = 3, maxBucketSize: Int = 1024): DataFrame = {
+                     maxHamming: Int = 3, maxBucketSize: Int = 1024,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
     // referenced three times (banding + both id re-attach joins) — persist the
-    // narrow (id, sig) projection once instead of re-deriving the input
-    val s = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    // narrow (id, sig [, carry...]) projection once instead of re-deriving the
+    // input. `carry` columns ride the SAME two re-attach joins as the
+    // signature (as <col>_a / <col>_b) so callers that need per-endpoint
+    // payloads (e.g. captions for the conflict report) don't pay two more
+    // joins against the input.
+    val s = sig.select(col(idCol).as("__id") +: col(sigCol).as("__sig") +:
+        carry.map(col): _*)
       .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val banded = s.select(col("__id"), explode(
       transform(sequence(lit(0), lit(3)),
@@ -281,11 +287,14 @@ object TextOps {
       .select(col("__id"), col("band.b").as("__bb"), col("band.k").as("__bk"))
     val cand = bucketCandidates(banded, Seq("__bb", "__bk"), maxBucketSize)
     cand
-      .join(s.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(s.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .join(s.select(col("__id").as("id_a") +: col("__sig").as("sig_a") +:
+        carry.map(c => col(c).as(s"${c}_a")): _*), "id_a")
+      .join(s.select(col("__id").as("id_b") +: col("__sig").as("sig_b") +:
+        carry.map(c => col(c).as(s"${c}_b")): _*), "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("id_a") +: col("id_b") +: col("hamming") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** SimHash near-dup pairs: [[hammingPairs64]] over the simhash signature. */

@@ -52,4 +52,17 @@ outer = graft_b6.proto_call(graft_b6.proto_symbol("count"), [inner],
                             pipelined=True)
 assert conn.evaluate_proto(outer) == 13
 
-print("OK %d goldens + manifest(%d functions) + proto frames" % (len(GOLDENS), len(names)))
+# the reference RPC itself over gRPC-Web framing: scalar, pipelined
+# collection count, and error trailers
+got = graft_b6.parse_result_node(conn.evaluate_grpc_web(node))
+assert got == 42, got
+got = graft_b6.parse_result_node(conn.evaluate_grpc_web(outer))
+assert got == 13, got
+try:
+    conn.evaluate_grpc_web(graft_b6.proto_call(
+        graft_b6.proto_symbol("no-such-fn"), [graft_b6.proto_int(1)]))
+    raise AssertionError("expected grpc-status != 0")
+except RuntimeError as e:
+    assert "grpc-status" in str(e), e
+
+print("OK %d goldens + manifest(%d functions) + proto frames + grpc-web" % (len(GOLDENS), len(names)))

@@ -253,11 +253,7 @@ object ExprProto {
       case Shell.FloatE(v) => w.double(5, v)
       case Shell.QueryE(q) => w.bytes(9, writeQuery(q))
       case Shell.FeatureIdE(ft, ns, v) =>
-        val fw = new Writer // FeatureIDProto (api.proto:24-28)
-        ftypeToEnum.get(ft).filter(_ != 0).foreach(x => fw.uint(1, x))
-        if (ns.nonEmpty) fw.string(2, ns)
-        if (v != 0L) fw.uint(3, v)
-        w.bytes(10, fw.result)
+        w.bytes(10, writeFeatureId(ft, ns, v))
       case Shell.LatLngE(lat, lng) => w.bytes(11, writePoint(lat, lng))
       case Shell.TagE(k, v) => w.bytes(16, writeTag(k, v))
       case other =>
@@ -321,23 +317,182 @@ object ExprProto {
         case 5 => out = Shell.FloatE(r.readDouble())
         case 9 => out = Shell.QueryE(readQuery(r.sub()))
         case 10 =>
-          val fr = r.sub()
-          var ft = 0; var ns = ""; var v = 0L
-          while (fr.hasNext) {
-            val (ff, fwt) = fr.readKey()
-            ff match {
-              case 1 => ft = fr.readVarint().toInt
-              case 2 => ns = fr.readString()
-              case 3 => v = fr.readVarint()
-              case _ => fr.skip(fwt)
-            }
-          }
-          out = Shell.FeatureIdE(enumToFtype.getOrElse(ft, "invalid"), ns, v)
+          val (ft, ns, v) = readFeatureId(r.sub())
+          out = Shell.FeatureIdE(ft, ns, v)
         case 11 => val (lat, lng) = readPoint(r.sub()); out = Shell.LatLngE(lat, lng)
         case 16 => val (k, v) = readTag(r.sub()); out = Shell.TagE(k, v)
         case _ => r.skip(wt)
       }
     }
     out
+  }
+
+  // ---- FeatureIDProto (api.proto:24-28) -------------------------------------
+
+  private def writeFeatureId(ftype: String, ns: String, v: Long): Array[Byte] = {
+    val fw = new Writer
+    ftypeToEnum.get(ftype).filter(_ != 0).foreach(x => fw.uint(1, x))
+    if (ns.nonEmpty) fw.string(2, ns)
+    if (v != 0L) fw.uint(3, v)
+    fw.result
+  }
+
+  private def readFeatureId(r: Reader): (String, String, Long) = {
+    var ft = 0; var ns = ""; var v = 0L
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      f match {
+        case 1 => ft = r.readVarint().toInt
+        case 2 => ns = r.readString()
+        case 3 => v = r.readVarint()
+        case _ => r.skip(wt)
+      }
+    }
+    (enumToFtype.getOrElse(ft, "invalid"), ns, v)
+  }
+
+  // ---- B6 service RPC messages (api.proto:243-263, service at :265-269) -----
+
+  /** EvaluateRequestProto: request=1 (NodeProto), version=2, root=3. */
+  def encodeEvaluateRequest(node: Shell.Expr, version: String,
+                            root: Option[(String, String, Long)]): Array[Byte] = {
+    val w = new Writer
+    w.bytes(1, encode(node))
+    if (version.nonEmpty) w.string(2, version)
+    root.foreach { case (t, ns, v) => w.bytes(3, writeFeatureId(t, ns, v)) }
+    w.result
+  }
+
+  def decodeEvaluateRequest(bytes: Array[Byte])
+      : (Shell.Expr, String, Option[(String, String, Long)]) = {
+    val r = new Reader(bytes)
+    var node: Shell.Expr = Shell.SymbolE("")
+    var version = ""
+    var root: Option[(String, String, Long)] = None
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      f match {
+        case 1 => node = decodeNode(r.sub())
+        case 2 => version = r.readString()
+        case 3 => root = Some(readFeatureId(r.sub()))
+        case _ => r.skip(wt)
+      }
+    }
+    (node, version, root)
+  }
+
+  /** EvaluateResponseProto: result=1 (NodeProto). Takes/returns the inner
+    * NodeProto bytes so result arms the shell grammar lacks (collections,
+    * applied changes) can be built with the dedicated helpers below. */
+  def encodeEvaluateResponse(resultNode: Array[Byte]): Array[Byte] = {
+    val w = new Writer; w.bytes(1, resultNode); w.result
+  }
+
+  def decodeEvaluateResponse(bytes: Array[Byte]): Array[Byte] = {
+    val r = new Reader(bytes)
+    var node = Array.emptyByteArray
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      if (f == 1) node = r.readBytes() else r.skip(wt)
+    }
+    node
+  }
+
+  /** DeleteWorldRequestProto: id=1 (api.proto:253-255). */
+  def encodeDeleteWorldRequest(id: (String, String, Long)): Array[Byte] = {
+    val w = new Writer; w.bytes(1, writeFeatureId(id._1, id._2, id._3)); w.result
+  }
+
+  def decodeDeleteWorldRequest(bytes: Array[Byte]): (String, String, Long) = {
+    val r = new Reader(bytes)
+    var id = ("invalid", "", 0L)
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      if (f == 1) id = readFeatureId(r.sub()) else r.skip(wt)
+    }
+    id
+  }
+
+  /** ListWorldsResponseProto: ids=1 repeated FeatureIDProto (api.proto:261-263). */
+  def encodeListWorldsResponse(ids: Seq[(String, String, Long)]): Array[Byte] = {
+    val w = new Writer
+    ids.foreach { case (t, ns, v) => w.bytes(1, writeFeatureId(t, ns, v)) }
+    w.result
+  }
+
+  def decodeListWorldsResponse(bytes: Array[Byte]): Seq[(String, String, Long)] = {
+    val r = new Reader(bytes)
+    val out = Seq.newBuilder[(String, String, Long)]
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      if (f == 1) out += readFeatureId(r.sub()) else r.skip(wt)
+    }
+    out.result()
+  }
+
+  // ---- result literal arms beyond the shell grammar -------------------------
+
+  private def nodeOfLiteral(lit: Array[Byte]): Array[Byte] = {
+    val w = new Writer; w.bytes(2, lit); w.result
+  }
+
+  /** boolValue literal NodeProto (field 2; the set oneof arm always emits). */
+  def boolNode(v: Boolean): Array[Byte] = {
+    val w = new Writer; w.uint(2, if (v) 1L else 0L); nodeOfLiteral(w.result)
+  }
+
+  /** nilValue literal NodeProto (field 1). */
+  def nilNode: Array[Byte] = {
+    val w = new Writer; w.uint(1, 1L); nodeOfLiteral(w.result)
+  }
+
+  /** collectionValue literal NodeProto: CollectionProto keys=2 / values=4
+    * (api.proto:87-90), each element a LiteralNodeProto. */
+  def collectionNode(keys: Seq[Shell.Expr], values: Seq[Shell.Expr]): Array[Byte] = {
+    val cw = new Writer
+    keys.foreach(k => cw.bytes(2, encodeLiteral(k)))
+    values.foreach(v => cw.bytes(4, encodeLiteral(v)))
+    val lw = new Writer
+    lw.bytes(6, cw.result)
+    nodeOfLiteral(lw.result)
+  }
+
+  /** appliedChangeValue literal NodeProto: AppliedChangeProto original=1 /
+    * modified=2 (api.proto:101-104). */
+  def appliedChangeNode(modified: Seq[(String, String, Long)]): Array[Byte] = {
+    val aw = new Writer
+    modified.foreach { case (t, ns, v) => aw.bytes(2, writeFeatureId(t, ns, v)) }
+    val lw = new Writer
+    lw.bytes(14, aw.result)
+    nodeOfLiteral(lw.result)
+  }
+
+  /** Spec-side inverse of [[collectionNode]]: decode a collectionValue
+    * literal NodeProto back to (keys, values). */
+  def decodeCollectionNode(node: Array[Byte]): (Seq[Shell.Expr], Seq[Shell.Expr]) = {
+    val r = new Reader(node)
+    val keys = Seq.newBuilder[Shell.Expr]
+    val values = Seq.newBuilder[Shell.Expr]
+    while (r.hasNext) {
+      val (f, wt) = r.readKey()
+      if (f == 2) {
+        val lr = r.sub()
+        while (lr.hasNext) {
+          val (lf, lwt) = lr.readKey()
+          if (lf == 6) {
+            val cr = lr.sub()
+            while (cr.hasNext) {
+              val (cf, cwt) = cr.readKey()
+              cf match {
+                case 2 => keys += decodeLiteral(cr.sub())
+                case 4 => values += decodeLiteral(cr.sub())
+                case _ => cr.skip(cwt)
+              }
+            }
+          } else lr.skip(lwt)
+        }
+      } else r.skip(wt)
+    }
+    (keys.result(), values.result())
   }
 }

@@ -52,6 +52,14 @@ object Renderers {
       worlds.getOrElseUpdate(key, loadPersisted(key).getOrElse(base))
     }
 
+    /** ListWorlds RPC: the ids materialised in this registry
+      * (grpc/service.go:91-100). */
+    def listWorlds: Seq[WorldId] = worlds.keys.toSeq
+
+    /** DeleteWorld RPC: drop a world from the registry
+      * (grpc/service.go:102-105); a later findOrCreate re-derives it. */
+    def deleteWorld(id: WorldId): Unit = worlds.remove(id)
+
     private def valid(id: WorldId): Boolean = id.ns.nonEmpty && id.value >= 0
 
     private def table(id: WorldId, part: String): String =

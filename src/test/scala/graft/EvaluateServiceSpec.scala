@@ -104,6 +104,104 @@ class EvaluateServiceSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  private def postGrpcWeb(port: Int, path: String, body: Array[Byte]): Array[Byte] = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/grpc-web+proto")
+    conn.getOutputStream.write(body)
+    assert(conn.getResponseCode == 200) // gRPC errors ride trailers, not HTTP
+    conn.getInputStream.readAllBytes()
+  }
+
+  test("b6.grpc.B6/Evaluate speaks gRPC-Web framed EvaluateRequest/ResponseProto") {
+    import graft.proto.ExprProto
+    import graft.server.EvaluateService.{grpcFrame, grpcFrames}
+    import graft.shell.Shell._
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      // scalar: (add-ints 40 2) -> intValue literal node
+      val req = ExprProto.encodeEvaluateRequest(
+        CallE(SymbolE("add-ints"), List(IntE(40), IntE(2))), "1", None)
+      val frames = grpcFrames(postGrpcWeb(port, "/b6.grpc.B6/Evaluate", grpcFrame(0, req)))
+      val trailer = new String(frames.collect { case (f, p) if (f & 0x80) != 0 => p }.head, "UTF-8")
+      assert(trailer.contains("grpc-status: 0"), trailer)
+      val result = ExprProto.decode(ExprProto.decodeEvaluateResponse(
+        frames.collectFirst { case (f, p) if (f & 0x80) == 0 => p }.get))
+      assert(result == IntE(42), result)
+
+      // a pipelined find | count through the full shell dispatch
+      val count = ExprProto.encodeEvaluateRequest(
+        CallE(SymbolE("count"), List(
+          CallE(SymbolE("find"), List(QueryE(graft.query.Keyed("#amenity"))))),
+          pipelined = true), "1", None)
+      val countFrames = grpcFrames(postGrpcWeb(port, "/b6.grpc.B6/Evaluate", grpcFrame(0, count)))
+      val countResult = ExprProto.decode(ExprProto.decodeEvaluateResponse(
+        countFrames.collectFirst { case (f, p) if (f & 0x80) == 0 => p }.get))
+      assert(countResult.isInstanceOf[IntE] && countResult.asInstanceOf[IntE].v > 0, countResult)
+
+      // version gate + unknown function -> trailers-only grpc-status 2
+      val bad = ExprProto.encodeEvaluateRequest(IntE(1), "9.0", None)
+      val badTrailer = new String(grpcFrames(
+        postGrpcWeb(port, "/b6.grpc.B6/Evaluate", grpcFrame(0, bad)))
+        .collect { case (f, p) if (f & 0x80) != 0 => p }.head, "UTF-8")
+      assert(badTrailer.contains("grpc-status: 2") && badTrailer.contains("grpc-message"), badTrailer)
+    } finally server.stop(0)
+  }
+
+  test("b6.grpc.B6/Evaluate returns two-column frames as collectionValue keys/values") {
+    import graft.proto.ExprProto
+    import graft.server.EvaluateService.{grpcFrame, grpcFrames}
+    import graft.shell.Shell._
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      // the ShellSpec count-values golden, through the RPC: a (value, count)
+      // two-column frame comes back as CollectionProto keys/values
+      val req = ExprProto.encodeEvaluateRequest(
+        CallE(SymbolE("count-values"), List(
+          CallE(SymbolE("map"), List(
+            CallE(SymbolE("find"), List(QueryE(graft.query.Keyed("#amenity")))),
+            LambdaE(List("f"), CallE(SymbolE("tag"),
+              List(SymbolE("f"), StringE("#amenity"))))),
+            pipelined = true)), pipelined = true), "1", None)
+      val frames = grpcFrames(postGrpcWeb(port, "/b6.grpc.B6/Evaluate", grpcFrame(0, req)))
+      val trailer = new String(frames.collect { case (f, p) if (f & 0x80) != 0 => p }.head, "UTF-8")
+      assert(trailer.contains("grpc-status: 0"), trailer)
+      val node = ExprProto.decodeEvaluateResponse(
+        frames.collectFirst { case (f, p) if (f & 0x80) == 0 => p }.get)
+      val (keys, values) = ExprProto.decodeCollectionNode(node)
+      assert(keys.nonEmpty && keys.length == values.length)
+      val byValue = keys.zip(values).collect {
+        case (StringE(k), IntE(n)) => k -> n
+      }.toMap
+      assert(byValue("bicycle_parking") == 11L, byValue) // b6_test.py golden
+    } finally server.stop(0)
+  }
+
+  test("b6.grpc.B6/ListWorlds + DeleteWorld manage the registry (service.go:91-105)") {
+    import graft.proto.ExprProto
+    import graft.server.EvaluateService.{grpcFrame, grpcFrames}
+    val server = EvaluateService.serve(reg)
+    try {
+      val port = server.getAddress.getPort
+      val scenario = WorldId("collection", "graft/grpcweb", 21L)
+      reg.findOrCreate(scenario)
+      def listIds(): Seq[(String, String, Long)] = {
+        val frames = grpcFrames(postGrpcWeb(port, "/b6.grpc.B6/ListWorlds",
+          grpcFrame(0, Array.emptyByteArray)))
+        ExprProto.decodeListWorldsResponse(
+          frames.collectFirst { case (f, p) if (f & 0x80) == 0 => p }.get)
+      }
+      assert(listIds().contains(("collection", "graft/grpcweb", 21L)))
+      postGrpcWeb(port, "/b6.grpc.B6/DeleteWorld", grpcFrame(0,
+        ExprProto.encodeDeleteWorldRequest(("collection", "graft/grpcweb", 21L))))
+      assert(!listIds().contains(("collection", "graft/grpcweb", 21L)))
+    } finally server.stop(0)
+  }
+
   test("HTTP POST /evaluate round-trips JSON") {
     val server = EvaluateService.serve(reg)
     try {

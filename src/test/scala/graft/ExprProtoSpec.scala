@@ -61,6 +61,43 @@ class ExprProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("B6 service RPC messages round-trip (EvaluateRequest/Response, DeleteWorld, ListWorlds)") {
+    val node = Shell.CallE(Shell.SymbolE("count"),
+      List(Shell.CallE(Shell.SymbolE("find"),
+        List(Shell.QueryE(graft.query.Keyed("#building"))))), pipelined = true)
+    // request: node + version + root world id (api.proto:243-247)
+    val req = ExprProto.encodeEvaluateRequest(node, "1",
+      Some(("collection", "graft/scenario", 7L)))
+    val (n2, v2, r2) = ExprProto.decodeEvaluateRequest(req)
+    assert(n2 == node && v2 == "1" && r2.contains(("collection", "graft/scenario", 7L)))
+    // absent root stays absent
+    val (_, _, noRoot) = ExprProto.decodeEvaluateRequest(
+      ExprProto.encodeEvaluateRequest(node, "1", None))
+    assert(noRoot.isEmpty)
+    // response wraps the result NodeProto (api.proto:249-251)
+    val resp = ExprProto.encodeEvaluateResponse(ExprProto.encode(Shell.IntE(13)))
+    assert(ExprProto.decode(ExprProto.decodeEvaluateResponse(resp)) == Shell.IntE(13))
+    // DeleteWorldRequestProto / ListWorldsResponseProto (api.proto:253-263)
+    assert(ExprProto.decodeDeleteWorldRequest(
+      ExprProto.encodeDeleteWorldRequest(("area", "osm", 42L))) == (("area", "osm", 42L)))
+    val ids = Seq(("collection", "a", 1L), ("area", "b/c", 2L))
+    assert(ExprProto.decodeListWorldsResponse(ExprProto.encodeListWorldsResponse(ids)) == ids)
+  }
+
+  test("result-only literal arms: bool, nil, collection, applied change") {
+    val (k, v) = (Seq[Shell.Expr](Shell.StringE("x"), Shell.StringE("y")),
+      Seq[Shell.Expr](Shell.IntE(1), Shell.IntE(2)))
+    val (k2, v2) = ExprProto.decodeCollectionNode(ExprProto.collectionNode(k, v))
+    assert(k2 == k && v2 == v)
+    // boolNode emits the set oneof arm: literal field 2 varint
+    assert(ExprProto.boolNode(true).toSeq == Seq[Byte](0x12, 0x02, 0x10, 0x01))
+    assert(ExprProto.boolNode(false).toSeq == Seq[Byte](0x12, 0x02, 0x10, 0x00))
+    assert(ExprProto.nilNode.toSeq == Seq[Byte](0x12, 0x02, 0x08, 0x01))
+    // appliedChangeNode: literal field 14 with modified FeatureIDProtos
+    val ac = ExprProto.appliedChangeNode(Seq(("area", "osm", 9L)))
+    assert(ac(0) == 0x12) // NodeProto literal arm
+  }
+
   test("wire layout spot-check: varints, keys and doubles match the proto3 spec") {
     // NodeProto{symbol: "go"} = field 1, wire 2, len 2, 'g','o'
     assert(ExprProto.encode(Shell.SymbolE("go")).toSeq ==

@@ -624,6 +624,17 @@ object SparkEntry {
           col("psnr_db") >= 40.0 as "psnr_ok", col("decoded_ok"))
         .orderBy("image_id")
     }),
+
+    // thumbnails: decode-once -> aspect-preserving integer downscale -> PPM
+    // re-encode; dims + exact container byte length replay in the oracle
+    // (oracleSqlDynamic), pixels in ImageSpec
+    "mm_thumbs" -> ((s, d) => {
+      val n = if (d.contains("0.001")) 200L else if (d.contains("0.01")) 1000L else 5000L
+      ImageOps.thumbnails(Fixtures.images(s, n), 64).toDF()
+        .select(col("image_id"), col("tw"), col("th"),
+          length(col("thumb")).cast("int").as("thumb_len"))
+        .orderBy("image_id")
+    }),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------------
@@ -1316,9 +1327,25 @@ object SparkEntry {
          |  ['ppm','png'][CAST(i % 2 AS INT) + 1] AS fmt,
          |  true AS psnr_ok, true AS decoded_ok
          |FROM (SELECT unnest(range($mmDecodeN)) AS i) ORDER BY image_id""".stripMargin
+    // mm_thumbs: aspect-preserving integer downscale to maxDim=64 + PPM (P6)
+    // re-encode — target dims AND the exact container byte length are pure
+    // formula (header "P6\n{tw} {th}\n255\n" + tw*th*3), so the oracle
+    // replays both; thumbnail pixel bytes stay spec-covered (ImageSpec
+    // nearest-neighbor replay).
+    val mmThumbsSql =
+      s"""SELECT image_id, tw, th,
+         |  CAST(9 + length(CAST(tw AS VARCHAR)) + length(CAST(th AS VARCHAR))
+         |    + tw * th * 3 AS INT) AS thumb_len
+         |FROM (
+         |  SELECT printf('img-%012d', i) AS image_id,
+         |    CAST([64, 64, 64][CAST(i % 3 AS INT) + 1] AS INT) AS tw,
+         |    CAST([64, 48, 64][CAST(i % 3 AS INT) + 1] AS INT) AS th
+         |  FROM (SELECT unnest(range($mmDecodeN)) AS i))
+         |ORDER BY image_id""".stripMargin
     Map(
       "geo_hull" -> geoHullSql,
       "mm_decode" -> mmDecodeSql,
+      "mm_thumbs" -> mmThumbsSql,
       // PQ/ADC replay: assignment argmax + ascending-subspace list_reduce
       // folds mirror the engine's sequential-double accumulation exactly
       "ann_pq" ->

@@ -86,6 +86,36 @@ object ImageOps {
     out
   }
 
+  case class Thumb(image_id: String, caption: String, w: Int, h: Int,
+                   tw: Int, th: Int, thumb: Array[Byte])
+
+  /**
+   * Distributed thumbnailing over the images table (input_hint schema):
+   * decode once, nearest-neighbor downscale so the longer side is `maxDim`
+   * (aspect preserved, integer arithmetic, never upscaled), re-encode as PPM
+   * (P6). One mapPartitions pass — source bytes never leave the task; only
+   * the (much smaller) thumbnail bytes flow on. The training-pipeline
+   * preprocessing step next to decodeFeatures; caption passes through
+   * untouched (the per-row invariant).
+   */
+  def thumbnails(images: DataFrame, maxDim: Int = 64): Dataset[Thumb] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "bytes", "fmt", "caption")
+      .as[(String, Array[Byte], String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes, fmt, cap) =>
+          val (dw, dh, pix) = Fixtures.decode(bytes, fmt)
+          val m = math.max(dw, dh)
+          val (tw, th) =
+            if (m <= maxDim) (dw, dh)
+            else (math.max(1, dw * maxDim / m), math.max(1, dh * maxDim / m))
+          Thumb(id, cap, dw, dh, tw, th,
+            Fixtures.encode(resize(pix, dw, dh, tw, th), tw, th, "ppm"))
+        }
+      }
+  }
+
   /**
    * Decode-once feature extraction over the images table
    * (image_id, bytes, w, h, fmt, caption, phash). One mapPartitions pass;

@@ -31,6 +31,30 @@ class ImageSpec extends SparkSuite {
     assert(feats.count() == 300)
   }
 
+  test("thumbnails: aspect-preserved dims, exact nearest-neighbor pixel replay, caption intact") {
+    val images = Fixtures.images(spark, 90)
+    val thumbs = ImageOps.thumbnails(images, 64).collect()
+    assert(thumbs.length == 90)
+    thumbs.foreach { t =>
+      // generator dims cycle (64,64) (128,96) (256,256) -> thumbs all tw=64
+      val i = t.image_id.stripPrefix("img-").toLong
+      val (ew, eh) = (i % 3) match {
+        case 0 => (64, 64); case 1 => (64, 48); case _ => (64, 64)
+      }
+      assert(t.tw == ew && t.th == eh, s"${t.image_id}: ${t.tw}x${t.th}")
+      // the thumbnail PPM decodes to exactly the driver-side resize of the
+      // deterministic source pixels — distributed == local, byte for byte
+      val (dw, dh, pix) = Fixtures.decode(t.thumb, "ppm")
+      assert(dw == ew && dh == eh)
+      val expected = ImageOps.resize(Fixtures.pixels(i, t.w, t.h), t.w, t.h, ew, eh)
+      assert(java.util.Arrays.equals(pix, expected), s"${t.image_id} pixel drift")
+      assert(t.caption == Fixtures.caption(i)) // caption byte-equality
+    }
+    // an already-small image is never upscaled
+    val small = ImageOps.resize(Fixtures.pixels(1L, 32, 16), 32, 16, 32, 16)
+    assert(small.length == 32 * 16 * 3)
+  }
+
   test("resize produces expected dimensions deterministically") {
     val pix = Fixtures.pixels(3L, 64, 64)
     val r1 = ImageOps.resize(pix, 64, 64, 16, 16)

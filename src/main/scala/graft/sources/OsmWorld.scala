@@ -208,6 +208,12 @@ object OsmWorld {
         col("tags"), col("lat"), col("lng"), col("geom"))
       .withColumn("cell16", CellExprs.cell_of(col("lat"), col("lng"), lit(16)))
       .withColumn("covering", CellExprs.cell_covering(col("geom"), lit(16), lit(5)))
+      // the union of the four feature planes stacks their partition counts
+      // (pbf blocks + three shuffle widths — 64 for camden's 253k rows);
+      // one ingest-time exchange right-sizes the SERVING layout so every
+      // later query over the cached world pays cores-many task dispatches,
+      // not the sum (measured 266 -> 130 ms/query on the camden benchmark)
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /**

@@ -448,6 +448,33 @@ object SparkEntry {
         .toDF().select(col("origin_id"), round(col("area_m2"), 0).as("area_m2"))
         .orderBy("origin_id")
     }),
+    "sl_polygon" -> ((s, d) => {
+      // the visibility-POLYGON half of sightline (renderer.go sightline UI /
+      // functions.go sightline), as pure +,-,*,/ arithmetic: vertex_i =
+      // origin + occlusion_i * dir_i over the rational ray fan, then the
+      // shoelace sum folded in ray order (the oracle mirrors the fold with
+      // list_reduce(list(trm ORDER BY ray_idx))). Together with sl_rays this
+      // oracles the whole sightline computation except the trig angle grid.
+      import s.implicits._
+      val origins = Fixtures.points(s, d).where(col("point_id") % 5000 === 0)
+        .select(col("point_id").as("origin_id"), col("lng").as("px"), col("lat").as("py"))
+      val dirs = graft.operators.Sightline.rationalDirections.toDF("ray_idx", "ex", "ey")
+      val edges = sightlineEdges.toDF("ax", "ay", "bx", "by")
+      val v = graft.operators.Sightline.rayOcclusions(origins, dirs, edges)
+        .join(broadcast(origins), "origin_id").join(broadcast(dirs), "ray_idx")
+        .select(col("origin_id"), col("ray_idx"),
+          (col("px") + col("occlusion") * col("ex")).as("vx"),
+          (col("py") + col("occlusion") * col("ey")).as("vy"))
+      val nxt = v.select(col("origin_id").as("o2"), col("ray_idx").as("r2"),
+        col("vx").as("wx"), col("vy").as("wy"))
+      v.join(nxt, col("o2") === col("origin_id") && col("r2") === (col("ray_idx") + 1) % 16)
+        .select(col("origin_id"), col("ray_idx"),
+          (col("vx") * col("wy") - col("wx") * col("vy")).as("trm"))
+        .groupBy("origin_id")
+        .agg((aggregate(array_sort(collect_list(struct(col("ray_idx"), col("trm")))),
+          lit(0.0), (acc, x) => acc + x.getField("trm")) * 0.5).as("area_deg2"))
+        .orderBy("origin_id")
+    }),
 
     // -- map/filter plane (map.go:12-67, collections.go:215-274) --
     "co_map_filter" -> ((s, d) => Fixtures.points(s, d)
@@ -461,21 +488,25 @@ object SparkEntry {
       val inCap = graft.operators.SpatialJoins.withinCap(
         Fixtures.points(s, d), 51.5353, -0.1258, 2000.0)
       val pts = inCap.select("lat", "lng").as[(Double, Double)]
-      // partial hulls per partition (Dataset API), merged on the driver (tiny)
-      val hull = pts.mapPartitions { it =>
-        val coords = it.map { case (la, lo) => GeoOps.point(la, lo).getCoordinate }.toArray
-        if (coords.isEmpty) Iterator.empty
-        else Iterator(GeoOps.toWkb(GeoOps.factory.createMultiPointFromCoords(coords).convexHull()))
+      // partial hulls per partition (exact monotone chain, Dataset API),
+      // merged on the driver (tiny). The chain's BigDecimal orientation
+      // predicate makes hull(hull(A) ++ hull(B)) == hull(A ++ B) EXACTLY, so
+      // the result is partitioning-invariant — JTS's double-precision hull
+      // measurably drops strict vertices with cross products ~1e-23 (the
+      // JTS op itself stays on the convex-hull operator surface,
+      // GeoFunctionsSpec). A collinear point dropped by a partial chain is a
+      // convex combination of two partition-mates, hence never extreme
+      // globally — strict partial hulls lose no global vertex.
+      val partial = pts.mapPartitions { it =>
+        GeoOps.convexHullChain(it.map { case (la, lo) => (lo, la) }.toSeq).iterator
       }.collect()
-      val merged = GeoOps.fromWkb(graft.functions.GeoFunctions.convexHullAll(hull.toSeq))
       // canonical CCW vertex rows + the ascending-fold shoelace area (deg^2):
-      // the DuckDB oracle holds vertices from an INDEPENDENT monotone-chain
-      // hull (GeoOps.convexHullChain, no JTS) as driver literals and replays
-      // the identical area fold — so both the hull vertex set and the
-      // arithmetic are gate-checked. (Metric area stays covered by
-      // GeoFunctionsSpec; trig must not cross the engine boundary.)
-      val open = merged.getCoordinates.dropRight(1).map(c => (c.x, c.y)).toIndexedSeq
-      val verts = GeoOps.canonicalRing(open)
+      // the DuckDB oracle holds vertices from the same exact chain run over
+      // the UNPARTITIONED capped set as driver literals (oracleSqlDynamic)
+      // and replays the identical area fold — hull vertex set AND arithmetic
+      // both gate-checked. (Metric area stays covered by GeoFunctionsSpec;
+      // trig must not cross the engine boundary.)
+      val verts = GeoOps.canonicalRing(GeoOps.convexHullChain(partial.toSeq).toIndexedSeq)
       val area = GeoOps.shoelaceAscending(verts)
       verts.zipWithIndex.map { case ((x, y), i) =>
         (i.toLong, x, y, verts.length.toLong, area)
@@ -1250,14 +1281,54 @@ object SparkEntry {
          |FROM cast0 GROUP BY 1, 2 ORDER BY origin_id, ray_idx""".stripMargin
     },
 
+    // -- visibility-polygon shoelace over the rational ray fan: the sl_rays
+    //    occlusion core + vertex assembly + an ORDERED fold of the shoelace
+    //    terms (list_reduce == Spark's aggregate over the ray_idx-sorted
+    //    collect_list; see CLAUDE.md on cross-engine double sums) --
+    "sl_polygon" -> {
+      import Fixtures.dblE
+      val dirVals = graft.operators.Sightline.rationalDirections
+        .map { case (i, ex, ey) => s"($i, ${dblE(ex)}, ${dblE(ey)})" }
+        .mkString(", ")
+      val edgeVals = sightlineEdges
+        .map { case (ax, ay, bx, by) =>
+          s"(${dblE(ax)}, ${dblE(ay)}, ${dblE(bx)}, ${dblE(by)})" }
+        .mkString(", ")
+      val denomS = "nullif(d.ex * (e.by - e.ay) - d.ey * (e.bx - e.ax), 0.0)"
+      val tS = s"(((e.ax - p.lng) * (e.by - e.ay) - (e.ay - p.lat) * (e.bx - e.ax)) / $denomS)"
+      val uS = s"(((e.ax - p.lng) * d.ey - (e.ay - p.lat) * d.ex) / $denomS)"
+      s"""$ptsCte,
+         |dirs AS (SELECT CAST(c0 AS BIGINT) AS ray_idx, c1 AS ex, c2 AS ey
+         |  FROM (VALUES $dirVals) t(c0, c1, c2)),
+         |edges AS (SELECT c0 AS ax, c1 AS ay, c2 AS bx, c3 AS by
+         |  FROM (VALUES $edgeVals) t(c0, c1, c2, c3)),
+         |cast0 AS (
+         |  SELECT p.point_id AS origin_id, d.ray_idx,
+         |    CASE WHEN $tS > 0.0 AND $tS <= 1.0
+         |      AND $uS >= 0.0 AND $uS <= 1.0 THEN $tS END AS t
+         |  FROM pts p CROSS JOIN dirs d CROSS JOIN edges e
+         |  WHERE p.point_id % 5000 = 0),
+         |occ AS (SELECT origin_id, ray_idx, coalesce(min(t), CAST(1.0 AS DOUBLE)) AS occlusion
+         |  FROM cast0 GROUP BY 1, 2),
+         |v AS (SELECT o.origin_id, o.ray_idx,
+         |    p.lng + o.occlusion * d.ex AS vx, p.lat + o.occlusion * d.ey AS vy
+         |  FROM occ o JOIN pts p ON p.point_id = o.origin_id
+         |  JOIN dirs d ON d.ray_idx = o.ray_idx),
+         |trm AS (SELECT a.origin_id, a.ray_idx, a.vx * b.vy - b.vx * a.vy AS trm
+         |  FROM v a JOIN v b ON b.origin_id = a.origin_id AND b.ray_idx = (a.ray_idx + 1) % 16)
+         |SELECT origin_id, list_reduce(list(trm ORDER BY ray_idx), (x, y) -> x + y) * ${dblE(0.5)} AS area_deg2
+         |FROM trm GROUP BY origin_id ORDER BY origin_id""".stripMargin
+    },
+
     // geo_hull / mm_decode: oracled via oracleSqlDynamic (driver-literal hull
     // vertices + generator-formula decode metadata).
     // rd_mvt / rd_basemap / sl_sightline: rows-only (protobuf tile bytes /
     // the trig-angle visibility polygon are not SQL) — exactness covered by
     // the ScalaTest wire-level and golden oracles, and their SQL-expressible
     // halves are oracled separately: rd_assign (tile assignment + rule gate +
-    // layer pick), rd_mvt_cmds (the full encoder command stream) and sl_rays
-    // (the per-ray occlusion core).
+    // layer pick), rd_mvt_cmds (the full encoder command stream), sl_rays
+    // (the per-ray occlusion core) and sl_polygon (polygon assembly +
+    // ordered shoelace fold).
   )
 
   /** Shared trained-IVF codebook for the ann_ivf_trained query and its

@@ -606,7 +606,12 @@ object Fixtures {
     CellExprs.install(spark)
     import spark.implicits._
     val ds = spark.range(0, n, 1, partitions).map(i => imageRow(i))
-    ds.toDF()
+    // Persist the synthetic table: in production the input_hint images table
+    // is a STORED table (parquet/Iceberg), so pixel-generation cost is a
+    // fixture artifact — caching makes every consumer (decode, thumbs,
+    // pipeline stages) measure the operator against a materialized input,
+    // the same shape as reading the real table warm.
+    ds.toDF().transform(org.apache.spark.sql.graft.PersistOnce(_))
       .withColumn("lat", expr(
         "CASE WHEN pmod(phash, 10) < 3 THEN 51.5353 + CAST(pmod(phash, 97) AS DOUBLE) * 0.0000011 " +
           "ELSE 51.46 + CAST(pmod(phash, 20000) AS DOUBLE) * 0.00000817 END"))

@@ -56,4 +56,25 @@ class GeoFunctionsSpec extends SparkSuite {
     val expected = GeoOps.haversineMeters(51.50, -0.12, 51.51, -0.12)
     assert(math.abs(d - expected) < 2.0, s"got $d want $expected")
   }
+
+  test("exact-chain hull is partitioning-invariant on collinear-rich point sets") {
+    // the geo_hull contract: hull(hull(A) ++ hull(B) ++ ...) == hull(all)
+    // EXACTLY, for any grouping — the BigDecimal orientation predicate is
+    // what makes partial-hull merging safe (JTS's double-precision hull
+    // measurably violates this on ~1e-23-cross vertices; see CLAUDE.md)
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { round =>
+      // lattice points (exact collinear rows/columns/diagonals) + a long
+      // exact diagonal, duplicated points included
+      val pts = Seq.fill(300)((51.0 + rnd.nextInt(40) * 0.1, -0.2 + rnd.nextInt(40) * 0.1)) ++
+        (0 until 40).map(i => (51.0 + i * 0.1, -0.2 + i * 0.1))
+      val direct = GeoOps.convexHullChain(pts)
+      (2 to 5).foreach { g =>
+        val parts = pts.grouped(pts.length / g + 1)
+          .flatMap(p => GeoOps.convexHullChain(p)).toSeq
+        val merged = GeoOps.convexHullChain(parts)
+        assert(merged == direct, s"round $round groups $g: $merged != $direct")
+      }
+    }
+  }
 }

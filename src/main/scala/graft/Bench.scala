@@ -72,9 +72,46 @@ object Bench {
     pip.count() + tiles.count()
   }
 
+  /** Single-thread CPU probe: a fixed 200M-iteration mix loop. ~0.3-0.5 s on
+    * this VM's clean windows; the multi-hour degraded regimes (CLAUDE.md)
+    * read 2-5x that. Sampled at three points of the run and embedded in the
+    * artifact so a reader can judge the window the numbers were taken in. */
+  private def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var i = 0L; var acc = 0L
+    while (i < 200000000L) {
+      acc = java.lang.Long.rotateLeft(acc + i, 7) * 0x9E3779B97F4A7C15L
+      i += 1
+    }
+    if (acc == 42L) print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 16-thread variant of the probe (100M iterations each): the VM's
+    * degraded regimes are MULTI-CORE contention — measured 2026-08-17
+    * evening: single-thread probe 0.36-0.43 s (clean) while 16-32-thread
+    * Spark stages ran 1.5-4x slow — so the parallel probe is the one that
+    * senses the windows that actually tax the benchmark. ~0.2-0.4 s clean. */
+  private def cpuProbe16Sec(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 16).map { t =>
+      new Thread(() => {
+        var i = 0L; var acc = t.toLong
+        while (i < 100000000L) {
+          acc = java.lang.Long.rotateLeft(acc + i, 7) * 0x9E3779B97F4A7C15L
+          i += 1
+        }
+        if (acc == 42L) print("")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpuProbes = scala.collection.mutable.ArrayBuffer((cpuProbeSec(), cpuProbe16Sec()))
     // large enough that the flagship runs >=10s at local[8]; fixed per-job
     // overheads (scheduling, the tiny level-collect job) must not dominate
     // the scaling measurement
@@ -156,12 +193,15 @@ object Bench {
     // refreshes; the scaling numbers then echo zeros
     if (sys.env.get("SPARK_GRAFT_BENCH_INVENTORY_ONLY").contains("1")) {
       camdenRuns += camdenFork(); camdenRuns += camdenFork() // 5 total
+      cpuProbes += ((cpuProbeSec(), cpuProbe16Sec()))
       val qs0 = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val total0 = results2.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"operator inventory sec","value":$total0,"unit":"sec","total_query_sec":$total0,"queries":$qs0$camdenJson,"sf":"$sfDir"}""")
+      val probes0 = cpuProbes.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
+      println(s"""{"metric":"operator inventory sec","value":$total0,"unit":"sec","total_query_sec":$total0,"queries":$qs0$camdenJson,"cpu_probe_sec":$probes0,"sf":"$sfDir"}""")
       return
     }
+    cpuProbes += ((cpuProbeSec(), cpuProbe16Sec()))
 
     // part 2: scaling — same job, same input, N vs 4N cores, each parallelism
     // level in its OWN JVM (identical JIT warmup; no cross-level bias).
@@ -219,13 +259,15 @@ object Bench {
     // two final time-diverse camden samples, after the (long) scaling part
     // -> 5 forks total spread across the whole run
     if (!scalingOnly) { camdenRuns += camdenFork(); camdenRuns += camdenFork() }
+    cpuProbes += ((cpuProbeSec(), cpuProbe16Sec()))
     val qs = results2.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results2.map(_._2).filter(_ >= 0).sum
+    val probesJson = cpuProbes.map { case (a, b) => f"[$a%.2f,$b%.2f]" }.mkString("[", ",", "]")
     val scaling = f"""{"rows":$scaleRows,"out_rows":$outRows,"cores_n":$n1,"sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"""+
       f""""rows_per_sec_n":${thrN.toLong},"rows_per_sec_4n":${thr4N.toLong},"efficiency":$eff%.3f,"""+
       f""""median_pair_efficiency":$medianPairEff%.3f,"pairs_sec":$pairsJson}"""
-    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling$camdenJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join+tile-assignment rows/sec; scaling eff local[$n1]->local[${n1 * 4}]","value":${thr4N.toLong},"unit":"rows/sec","total_query_sec":$total,"queries":$qs,"scaling":$scaling$camdenJson,"cpu_probe_sec":$probesJson,"sf":"$sfDir"}""")
 
     val md =
       f"""
@@ -242,6 +284,9 @@ object Bench {
          |Scaling efficiency N -> 4N cores: **$eff%.3f** (target >= 0.8;
          |median adjacent-pair efficiency $medianPairEff%.3f; raw pair seconds $pairsJson).
          |Total operator-inventory time: $total%.1f s over ${results2.size} queries.
+         |CPU probe ([1-thread 200M, 16-thread 100M each] mix; clean ~[0.4,0.3]): $probesJson
+         |at run start / pre-scaling / run end — reads >1 s mean the window
+         |was degraded and the numbers above are upper bounds.
          |""".stripMargin
     val benchMd = java.nio.file.Paths.get("BENCH.md")
     java.nio.file.Files.writeString(benchMd, md,

@@ -217,24 +217,10 @@ object EvaluateService {
     // bit 7 = trailer, then 4-byte big-endian length, then the message;
     // responses end with a trailer frame carrying grpc-status) — so a client
     // that frames protobuf the gRPC way talks to the engine without any
-    // HTTP/2 stack on either side.
-    grpcWebContext(server, "/b6.grpc.B6/Evaluate") { msg =>
-      val (node, version, root) = graft.proto.ExprProto.decodeEvaluateRequest(msg)
-      val id = root.map { case (t, ns, v) => WorldId(t, ns, v) }
-        .getOrElse(DefaultWorldId)
-      val outcome = evaluateOutcome(reg, id,
-        if (version.isEmpty) ApiVersion else version,
-        w => Shell.runParsed(Shell.Env(w, None), node))
-      graft.proto.ExprProto.encodeEvaluateResponse(resultNode(outcome, 1000))
-    }
-    grpcWebContext(server, "/b6.grpc.B6/ListWorlds") { _ =>
-      graft.proto.ExprProto.encodeListWorldsResponse(
-        reg.listWorlds.map(id => (id.ftype, id.ns, id.value)))
-    }
-    grpcWebContext(server, "/b6.grpc.B6/DeleteWorld") { msg =>
-      val (t, ns, v) = graft.proto.ExprProto.decodeDeleteWorldRequest(msg)
-      reg.deleteWorld(WorldId(t, ns, v))
-      Array.emptyByteArray // DeleteWorldResponseProto {}
+    // HTTP/2 stack on either side. The same dispatch table is also served
+    // over TRUE gRPC (HTTP/2 h2c) by [[GrpcServer]].
+    grpcMethods(reg).foreach { case (path, handle) =>
+      grpcWebContext(server, path)(handle)
     }
     // GET /functions: the machine-readable registry manifest — the
     // `b6-api --functions` analogue (reference Makefile:79-80) that the
@@ -252,6 +238,31 @@ object EvaluateService {
     server.start()
     server
   }
+
+  /** The three unary B6 service methods (api.proto:265-269 Evaluate /
+    * ListWorlds / DeleteWorld) as a path → (request-message bytes →
+    * response-message bytes) table — the ONE dispatch surface behind both
+    * wire framings: gRPC-Web over HTTP/1.1 (here) and true gRPC over HTTP/2
+    * ([[GrpcServer]]). */
+  def grpcMethods(reg: WorldRegistry): Map[String, Array[Byte] => Array[Byte]] = Map(
+    "/b6.grpc.B6/Evaluate" -> { msg =>
+      val (node, version, root) = graft.proto.ExprProto.decodeEvaluateRequest(msg)
+      val id = root.map { case (t, ns, v) => WorldId(t, ns, v) }
+        .getOrElse(DefaultWorldId)
+      val outcome = evaluateOutcome(reg, id,
+        if (version.isEmpty) ApiVersion else version,
+        w => Shell.runParsed(Shell.Env(w, None), node))
+      graft.proto.ExprProto.encodeEvaluateResponse(resultNode(outcome, 1000))
+    },
+    "/b6.grpc.B6/ListWorlds" -> { _ =>
+      graft.proto.ExprProto.encodeListWorldsResponse(
+        reg.listWorlds.map(id => (id.ftype, id.ns, id.value)))
+    },
+    "/b6.grpc.B6/DeleteWorld" -> { msg =>
+      val (t, ns, v) = graft.proto.ExprProto.decodeDeleteWorldRequest(msg)
+      reg.deleteWorld(WorldId(t, ns, v))
+      Array.emptyByteArray // DeleteWorldResponseProto {}
+    })
 
   // ---- gRPC-Web unary framing ------------------------------------------------
 

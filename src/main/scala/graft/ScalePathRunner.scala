@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{SpatialJoins, TextOps}
+
+/**
+ * Direct scale-path evidence for the two operators round 4 flagged as
+ * driver-ceilinged, at sizes far beyond any gate fixture — committed as a
+ * main so the BENCH.md numbers are reproducible, not ad-hoc:
+ *
+ *  1. knnJoinDistributed, 500,000 sites x 1,000,000 points, k=1, level 15
+ *     (5x the 1e5-site correctness spec; the retired driver mode would hold
+ *     500k site rows + result rows on the heap and re-broadcast every ring —
+ *     the distributed loop's driver state is per-ring counters only).
+ *  2. dedupClusters distributed pointer-doubling mode, 5,000,000 vertices
+ *     in 100 scrambled-id chains of 50k pairwise-merged into 50 components
+ *     (diameter ~100k — label propagation's worst case; real dedup graphs
+ *     are star/clique-dominated with diameter 2-4). The assertion is the
+ *     ROUND COUNT staying O(log diameter) and the component count exact.
+ *
+ * Run: SPARK_DRIVER_MEM=24g sbt -batch "runMain graft.ScalePathRunner [knn|cc]"
+ */
+object ScalePathRunner {
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("both")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-path")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.CellExprs.install(spark)
+    import graft.functions.CellExprs._
+
+    if (which == "both" || which == "knn") {
+      // the 1e5-site spec's lattice, scaled 10x points / 5x sites: same span,
+      // so ring-1 settles nearly everything and the loop cost is the honest
+      // per-ring overhead, not an artificial far-site tail
+      val nSide = 1000
+      val pts = spark.range(nSide.toLong * nSide)
+        .withColumn("point_id", col("id"))
+        .withColumn("lat", lit(50.0) + (col("id") % nSide).cast("double") * lit(0.005))
+        .withColumn("lng", lit(0.0) + floor(col("id") / nSide).cast("double") * lit(0.005))
+        .withColumn("cell16", cell_of(col("lat"), col("lng"), lit(16)))
+        .drop("id")
+      val sSide = 708 // 708*708 > 5e5, trimmed to exactly 500k on the same span
+      val sites = spark.range(500000L)
+        .withColumn("site_id", col("id"))
+        .withColumn("site_lat", lit(50.002) + (col("id") % sSide).cast("double") * lit(0.00706))
+        .withColumn("site_lng", lit(0.002) + floor(col("id") / sSide).cast("double") * lit(0.00706))
+        .drop("id")
+      val t0 = System.nanoTime()
+      val rows = SpatialJoins.knnJoinDistributed(pts, sites, k = 1, level = 15).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"RESULT knn rows=$rows sec=$sec%.1f")
+      assert(rows == 500000L, s"expected one settled row per site, got $rows")
+    }
+
+    if (which == "both" || which == "cc") {
+      // 100 chains of 50k vertices with ids SCRAMBLED along the chain by an
+      // arithmetic permutation (pos -> pos*48271 mod 50000, coprime stride),
+      // so the component's min id sits at a pseudo-random chain position;
+      // chains 2j and 2j+1 merge by one edge -> exactly 50 components of
+      // 100k vertices, diameter ~100k (label propagation's worst case).
+      // Pure range arithmetic: no window/self-join lineage in the input.
+      val nChains = 100L
+      val chainLen = 50000L
+      def vertexAt(chain: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+        chain * lit(chainLen) + (pos * lit(48271L)) % lit(chainLen)
+      val e = spark.range(nChains * (chainLen - 1))
+        .withColumn("chain", col("id") % nChains)
+        .withColumn("pos", floor(col("id") / nChains))
+      val chainEdges = e.select(
+        vertexAt(col("chain"), col("pos")).as("id_a"),
+        vertexAt(col("chain"), col("pos") + 1).as("id_b"))
+      val m = spark.range(nChains / 2)
+      val mergeEdges = m.select(
+        vertexAt(col("id") * 2, lit(17L)).as("id_a"),
+        vertexAt(col("id") * 2 + 1, lit(23L)).as("id_b"))
+      val pairs = chainEdges.unionByName(mergeEdges)
+      val vertices = spark.range(nChains * chainLen).select(col("id").as("doc_id"))
+      println(s"[scale-path] cc pairs=${pairs.count()}")
+      val t0 = System.nanoTime()
+      val (labels, rounds) = TextOps.dedupClustersWithRounds(pairs, vertices)
+      val nComponents = labels.select(countDistinct("cluster")).head.getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"RESULT cc vertices=${nChains * chainLen} rounds=$rounds components=$nComponents sec=$sec%.1f")
+      assert(nComponents == nChains / 2, s"expected ${nChains / 2} components, got $nComponents")
+    }
+    spark.stop()
+  }
+}

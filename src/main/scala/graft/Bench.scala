@@ -142,7 +142,12 @@ object Bench {
       // overlap (r2's driver run charged mm_decode 26.5 s vs 2.6 s clean);
       // two interleaved passes give every query a second window
       val queryReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "2").toInt
+      // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the inventory to named
+      // queries (iteration aid; unset for the full artifact)
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
       val r = (1 to queryReps).flatMap { _ =>
         ordered.map { case (name, fn) =>
           val sec = try time(materialize(fn(spark0, sfDir))) catch { case _: Throwable => -1.0 }

@@ -404,11 +404,18 @@ object Ann {
       .drop("__bs")
     val d = withBuckets(data, vecCol)
     val q = withBuckets(queries, qvecCol)
+    // score BEFORE the pair-dedup so the dedup shuffle carries (qid, id,
+    // cosine) scalars instead of two embedding vectors per candidate row —
+    // the cosine of a pair is collision-count-invariant, so max() over the
+    // <= `tables` duplicate collisions is the single exact value (the
+    // DuckDB oracle scores DISTINCT pairs; bit-identical). The groupBy also
+    // map-side-combines duplicate collisions, unlike dropDuplicates on rows
+    // widened by the vectors.
     val cand = observed(d.join(broadcast(q), Seq("__t", "__bucket"))
       .where(col(idCol) =!= col(qidCol))
-      .dropDuplicates(idCol, qidCol))
-      .withColumn("cosine",
-        cosineOf(col(vecCol), col(qvecCol)))
+      .withColumn("cosine", cosineOf(col(vecCol), col(qvecCol)))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(max(col("cosine")).as("cosine")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))

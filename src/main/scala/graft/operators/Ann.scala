@@ -232,9 +232,12 @@ object Ann {
     }
     val d = data.withColumn("__list", assign(col(vecCol)))
     val q = queries.withColumn("__list", explode(probe(col(qvecCol))))
+    // no pair-dedup needed: each data vector is assigned to exactly ONE
+    // list, so a (data, query) pair can meet on at most one probed list —
+    // the join output is already distinct and a dedup would only add a
+    // full-width shuffle
     val cand = observed(d.join(broadcast(q), Seq("__list"))
-      .where(col(idCol) =!= col(qidCol))
-      .dropDuplicates(idCol, qidCol))
+      .where(col(idCol) =!= col(qidCol)))
       .withColumn("cosine",
         cosineOf(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))

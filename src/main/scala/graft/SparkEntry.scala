@@ -177,6 +177,22 @@ object SparkEntry {
       t(s, d, "documents"), "doc_id", "text", k = 5, threshold = 0.2)
       .orderBy("id_a", "id_b")),
 
+    "td_split" -> ((s, d) =>
+      // deterministic 80/10/10 train/val/test assignment (scan-side map, no
+      // shuffle until this gate aggregation) — checksummed per split
+      TextOps.hashSplit(t(s, d, "documents"), "doc_id",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")),
+    "td_sample_stratified" -> ((s, d) =>
+      // deterministic k-per-language sample via the salted two-stage rank
+      TextOps.stratifiedSample(t(s, d, "documents"), "lang", "doc_id", 5)
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy("lang", "rank")),
+
     "td_dedup_clusters" -> ((s, d) => {
       // duplicate-CLUSTER assignment: connected components over the EXACT
       // n-gram Jaccard pair graph (pointer-doubling label propagation) —
@@ -1053,6 +1069,31 @@ object SparkEntry {
         |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
         |  ) AS hh FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // -- deterministic split + stratified sample: the splitmix64 mix replayed
+    //    unsigned in HUGEINT (sm64Ctes), bucket = h mod 10000 (unsigned
+    //    remainder on both sides), sample order = signed h with the
+    //    td_fingerprint sign bridge --
+    "td_split" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("src", Seq("doc_id", "n_chars"))
+      s"""WITH src AS (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |$smCtes,
+         |b AS (SELECT doc_id, n_chars, h % 10000 AS bucket FROM $smOut),
+         |a AS (SELECT CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split, doc_id, n_chars FROM b)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM a GROUP BY split ORDER BY split""".stripMargin
+    },
+    "td_sample_stratified" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("src", Seq("doc_id", "lang"))
+      s"""WITH src AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents),
+         |$smCtes,
+         |sgn AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs FROM $smOut)
+         |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS BIGINT) AS rank, doc_id
+         |FROM sgn QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin
+    },
 
     // -- exact n-gram Jaccard, brute-forced over all pairs: valid as a FULL
     //    oracle because prefix filtering (TextOps.ngramJaccardJoin) has no

@@ -474,4 +474,66 @@ object TextOps {
           (size(col("sh_a")) + size(col("sh_b")) - col("__int")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** splitmix64 of a long column. A (tiny) Scala UDF rather than column
+    * arithmetic because ANSI mode forbids the wrapping 64-bit multiplies;
+    * scan-side scalar, no shuffle. The same mix is replayed unsigned in
+    * DuckDB by Fixtures.U64Sql.sm64Ctes. */
+  private val sm64Udf = udf((id: Long) => graft.model.Fixtures.splitmix64(id))
+
+  /**
+   * Deterministic train/val/test assignment — the split primitive of a
+   * training-data pipeline (the reference has no equivalent; cf. its
+   * deterministic FNV-based id hashing, src/diagonal.works/b6/ingest/
+   * compact/encoding.go, for the hash-don't-sample discipline). `weights`
+   * are (name, basis points) summing to 10000; a row lands in the split
+   * whose cumulative bucket range contains splitmix64(id) mod 10000
+   * (UNSIGNED remainder, so the DuckDB HUGEINT replay is bit-identical).
+   *
+   * Scale shape: a pure scan-side map — no shuffle, no state, stable under
+   * repartitioning, append-only ingest, and re-runs; at 10^12 rows the
+   * assignment is embarrassingly parallel and the split of a row never
+   * changes as the corpus grows (unlike sampling by fraction-of-partition).
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 10000, "weights must sum to 10000 bp")
+    val bucket = udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(graft.model.Fixtures.splitmix64(id), 10000L))
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val cases = weights.zip(cum).map { case ((name, _), hi) => (name, hi) }
+    val expr = cases.init.foldRight(lit(cases.last._1)) { case ((name, hi), els) =>
+      when(col("__bucket") < hi, name).otherwise(els)
+    }
+    df.withColumn("__bucket", bucket(col(idCol)))
+      .withColumn("split", expr)
+      .drop("__bucket")
+  }
+
+  /**
+   * Deterministic per-stratum k-sample: within each stratum keep the k rows
+   * with the smallest (signed splitmix64(id), id) — a fixed pseudo-random
+   * order, so the sample is reproducible, stable under repartitioning, and
+   * extensible (k'=2k keeps the k-sample as a prefix). Two-stage rank with
+   * the salted pre-cap (same discipline as Renderers.renderCapped): stage 1
+   * ranks (stratum, salt) groups so a dominant stratum — at corpus scale one
+   * language can be half the table — never funnels through one reducer;
+   * only the <= salts*k survivors meet in the exact per-stratum rank.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val hashed = df.withColumn("__hs", sm64Udf(col(idCol)))
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+    val wLocal = Window.partitionBy(col(strataCol), col("__salt"))
+      .orderBy(col("__hs"), col(idCol))
+    val wGlobal = Window.partitionBy(col(strataCol))
+      .orderBy(col("__hs"), col(idCol))
+    hashed
+      .withColumn("__r0", row_number().over(wLocal)).where(col("__r0") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .where(col("rank") <= k)
+      .drop("__hs", "__salt", "__r0")
+  }
 }

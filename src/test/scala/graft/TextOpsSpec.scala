@@ -185,4 +185,44 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got == Map(1L -> 3, 2L -> 0))
   }
+
+  test("hashSplit: deterministic, partition-invariant, matches the driver mix, ~80/10/10") {
+    val n = 5000L
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val weights = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.remainderUnsigned(graft.model.Fixtures.splitmix64(id), 10000L)
+      if (b < 8000) "train" else if (b < 9000) "val" else "test"
+    }
+    val got = TextOps.hashSplit(ids, "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0L until n).forall(i => got(i) == splitOf(i)), "split must equal the driver-side mix")
+    // stable under repartitioning (the 100 TB invariant: assignment is a
+    // pure function of the id, never of physical layout)
+    val re = TextOps.hashSplit(ids.repartition(17), "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / n.toDouble).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.02 && math.abs(frac("val") - 0.1) < 0.01 &&
+      math.abs(frac("test") - 0.1) < 0.01, s"fractions off: $frac")
+  }
+
+  test("stratifiedSample: exact per-stratum k by the hash order, prefix-extensible") {
+    val rows = (0L until 400L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("doc_id", "lang").repartition(13)
+    def expected(k: Int): Set[(String, Long, Long)] = rows.groupBy(_._2).toSeq.flatMap {
+      case (lang, rs) => rs.map(_._1)
+        .sortBy(id => (graft.model.Fixtures.splitmix64(id), id)).take(k)
+        .zipWithIndex.map { case (id, i) => (lang, (i + 1).toLong, id) }
+    }.toSet
+    val got = TextOps.stratifiedSample(df, "lang", "doc_id", 7)
+      .select("lang", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected(7))
+    // k'=3 sample is a prefix of the k=7 sample (reproducible sampling)
+    val got3 = TextOps.stratifiedSample(df, "lang", "doc_id", 3)
+      .select("lang", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got3 == expected(3) && got3.subsetOf(got))
+  }
 }

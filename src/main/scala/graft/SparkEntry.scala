@@ -192,6 +192,14 @@ object SparkEntry {
       TextOps.stratifiedSample(t(s, d, "documents"), "lang", "doc_id", 5)
         .select(col("lang"), col("rank"), col("doc_id"))
         .orderBy("lang", "rank")),
+    "td_decontaminate" -> ((s, d) => {
+      // benchmark = every 11th doc; corpus = the rest, reported per-doc with
+      // its distinct-8-gram count and how many appear in the benchmark
+      val docs = t(s, d, "documents")
+      TextOps.contaminationScreen(docs.where(col("doc_id") % 11 =!= 0),
+          docs.where(col("doc_id") % 11 === 0), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
 
     "td_dedup_clusters" -> ((s, d) => {
       // duplicate-CLUSTER assignment: connected components over the EXACT
@@ -1094,6 +1102,19 @@ object SparkEntry {
          |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS BIGINT) AS rank, doc_id
          |FROM sgn QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin
     },
+
+    // -- contamination screen: the same distinct-8-gram construction as the
+    //    jaccard oracle, benchmark split by doc_id mod, zero-filled left join --
+    "td_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, greatest(len(t) - 6, 1))]) AS gs FROM toks),
+        |bsh AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 11 = 0),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 11 <> 0),
+        |hits AS (SELECT ex.doc_id, count(*) AS c FROM ex JOIN bsh USING (g) GROUP BY ex.doc_id)
+        |SELECT s.doc_id, CAST(len(s.gs) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(hits.c, 0) AS BIGINT) AS n_contaminated
+        |FROM sh s LEFT JOIN hits ON s.doc_id = hits.doc_id
+        |WHERE s.doc_id % 11 <> 0 ORDER BY s.doc_id""".stripMargin,
 
     // -- exact n-gram Jaccard, brute-forced over all pairs: valid as a FULL
     //    oracle because prefix filtering (TextOps.ngramJaccardJoin) has no

@@ -511,6 +511,32 @@ object TextOps {
   }
 
   /**
+   * Train-test contamination screen ("decontamination"): per corpus document,
+   * how many of its distinct word k-grams appear in a benchmark/eval corpus —
+   * the pre-training hygiene step that keeps eval data out of the training
+   * set. Zero-count docs are kept (the output is a per-doc report, not a
+   * filter; `where n_contaminated = 0` is the clean view).
+   *
+   * Scale shape: the benchmark side is small by contract (benchmarks are
+   * MBs; the corpus is the 100 TB side) — its distinct k-grams broadcast, so
+   * the corpus side is one scan-side explode + broadcast semi-join and the
+   * only corpus-wide shuffle is the per-doc count partial-agg. At corpus
+   * scale join on a 64-bit k-gram hash (xxhash64) instead of the string; the
+   * gate query joins the strings so the DuckDB replay is byte-identical.
+   */
+  def contaminationScreen(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, k: Int): DataFrame = {
+    val bg = bench.select(explode(shingles(col(textCol), k)).as("__g")).distinct()
+    val hits = corpus.select(col(idCol), explode(shingles(col(textCol), k)).as("__g"))
+      .join(broadcast(bg), "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+    corpus.select(col(idCol), size(shingles(col(textCol), k)).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("__c"), lit(0L)))
+      .drop("__c")
+  }
+
+  /**
    * Deterministic per-stratum k-sample: within each stratum keep the k rows
    * with the smallest (signed splitmix64(id), id) — a fixed pseudo-random
    * order, so the sample is reproducible, stable under repartitioning, and

@@ -207,6 +207,24 @@ class TextOpsSpec extends SparkSuite {
       math.abs(frac("test") - 0.1) < 0.01, s"fractions off: $frac")
   }
 
+  test("contaminationScreen counts benchmark k-grams per corpus doc, zero-filled") {
+    def grams(s: String, k: Int): Set[String] =
+      s.split(" ").sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+    val bench = docs.where(col("doc_id") === 1L)
+    val corpus = docs.where(col("doc_id") =!= 1L)
+    val got = TextOps.contaminationScreen(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bg = grams(docs.where(col("doc_id") === 1L).head.getString(1), 8)
+    val exp = docs.where(col("doc_id") =!= 1L).collect().map { r =>
+      val g = grams(r.getString(1), 8)
+      r.getLong(0) -> (g.size.toLong, g.count(bg.contains).toLong)
+    }.toMap
+    assert(got == exp)
+    // the exact dup is fully contaminated; unrelated docs report zero
+    assert(got(6L)._1 == got(6L)._2 && got(6L)._2 > 0)
+    assert(got(3L)._2 == 0L && got(4L)._2 == 0L)
+  }
+
   test("stratifiedSample: exact per-stratum k by the hash order, prefix-extensible") {
     val rows = (0L until 400L).map(i => (i, s"s${i % 3}"))
     val df = rows.toDF("doc_id", "lang").repartition(13)

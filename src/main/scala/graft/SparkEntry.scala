@@ -200,6 +200,12 @@ object SparkEntry {
           docs.where(col("doc_id") % 11 === 0), "doc_id", "text", 8)
         .orderBy("doc_id")
     }),
+    "td_pack" -> ((s, d) =>
+      // GPT-style packing plan: distributed prefix sum (range partition +
+      // broadcast offsets), 256-token chunks
+      TextOps.packPlan(TextOps.tokenCount(t(s, d, "documents"), "text"),
+          "doc_id", "n_tokens", 256)
+        .orderBy("doc_id")),
 
     "td_dedup_clusters" -> ((s, d) => {
       // duplicate-CLUSTER assignment: connected components over the EXACT
@@ -1102,6 +1108,18 @@ object SparkEntry {
          |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS BIGINT) AS rank, doc_id
          |FROM sgn QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin
     },
+
+    // -- packing plan: the distributed prefix sum replayed as ONE ordered
+    //    window cumsum; chunk spans by integral division --
+    "td_pack" ->
+      s"""WITH n AS (SELECT doc_id, CAST(${TextOps.tokenCountSql("text")} AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
+         |  FROM n)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  cum_before // 256 AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 256 ELSE cum_before // 256 END AS chunk_last
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // -- contamination screen: the same distinct-8-gram construction as the
     //    jaccard oracle, benchmark split by doc_id mod, zero-filled left join --

@@ -511,6 +511,47 @@ object TextOps {
   }
 
   /**
+   * Sequence-packing plan (GPT-style): documents are logically concatenated
+   * in ascending `idCol` order and cut into fixed `chunkTokens` windows; each
+   * document is assigned its global token offset and the [first, last] chunk
+   * it lands in. The global running sum is a DISTRIBUTED prefix sum — range
+   * partition by id, per-partition totals (one tiny aggregate, collected:
+   * O(partitions) longs), broadcast cumulative offsets, then a
+   * partition-LOCAL ordered window — never a global single-task window, so
+   * the plan is the same shape at 10^12 documents. Pure integer arithmetic:
+   * the oracle replays it as one SUM() OVER (ORDER BY id).
+   */
+  def packPlan(df: DataFrame, idCol: String, tokenCol: String,
+               chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.select(col(idCol), col(tokenCol).cast("long").as("__n"))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
+    // partition totals -> exclusive offsets (partition ids are ordered by the
+    // range partitioner, so offsets accumulate in id order)
+    val totals = ranged.groupBy("__pid").agg(sum(col("__n")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.map(_._2).zip(totals.map(_._1)).map { case (off, pid) => pid -> off }.toMap
+    val offUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("cum_before", offUdf(col("__pid")) + sum(col("__n")).over(wLocal) - col("__n"))
+      // integral `div`, not floor(x / c): double division loses exactness
+      // past 2^53 total tokens (~10^15 — a real corpus size)
+      .withColumn("chunk_first", call_function("div", col("cum_before"), lit(chunkTokens.toLong)))
+      .withColumn("chunk_last",
+        when(col("__n") > 0,
+          call_function("div", col("cum_before") + col("__n") - 1, lit(chunkTokens.toLong)))
+          .otherwise(col("chunk_first")))
+      .select(col(idCol), col("__n").as("n_tokens"), col("cum_before"),
+        col("chunk_first"), col("chunk_last"))
+  }
+
+  /**
    * Train-test contamination screen ("decontamination"): per corpus document,
    * how many of its distinct word k-grams appear in a benchmark/eval corpus —
    * the pre-training hygiene step that keeps eval data out of the training

@@ -207,6 +207,24 @@ class TextOpsSpec extends SparkSuite {
       math.abs(frac("test") - 0.1) < 0.01, s"fractions off: $frac")
   }
 
+  test("packPlan: distributed prefix sum equals the sequential pack, any partitioning") {
+    val rows = (0L until 1000L).map(i => (i, (graft.model.Fixtures.splitmix64(i) % 97 + 97) % 97))
+    def expected: Map[Long, (Long, Long, Long)] = {
+      var cum = 0L
+      rows.sortBy(_._1).map { case (id, n) =>
+        val first = cum / 64
+        val last = if (n > 0) (cum + n - 1) / 64 else first
+        val r = id -> (cum, first, last); cum += n; r
+      }.toMap
+    }
+    for (parts <- Seq(1, 7, 64)) {
+      val df = rows.toDF("doc_id", "n_tokens").repartition(parts)
+      val got = TextOps.packPlan(df, "doc_id", "n_tokens", 64)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
   test("contaminationScreen counts benchmark k-grams per corpus doc, zero-filled") {
     def grams(s: String, k: Int): Set[String] =
       s.split(" ").sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet

@@ -523,8 +523,8 @@ object TextOps {
    */
   def packPlan(df: DataFrame, idCol: String, tokenCol: String,
                chunkTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = df.select(col(idCol), col(tokenCol).cast("long").as("__n"))
       .repartitionByRange(parts, col(idCol))
       .withColumn("__pid", spark_partition_id())
@@ -535,11 +535,26 @@ object TextOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
       .init.map(_._2).zip(totals.map(_._1)).map { case (off, pid) => pid -> off }.toMap
-    val offUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("cum_before", offUdf(col("__pid")) + sum(col("__n")).over(wLocal) - col("__n"))
+    val offB = spark.sparkContext.broadcast(offsets)
+    // partition-LOCAL cumsum in one mapPartitions pass over the range-sorted
+    // rows: a Window.partitionBy(__pid) here would re-Exchange the whole
+    // table to hashpartitioning(__pid) on top of the range shuffle
+    // (plan-probed) — sortWithinPartitions + an imperative running sum keeps
+    // the range partitioning and adds ZERO shuffle
+    val sorted = ranged.sortWithinPartitions(col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("cum_before",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val cum = sorted.mapPartitions { it =>
+      var acc = Option.empty[Long]
+      it.map { r =>
+        val n = r.getAs[Long]("__n")
+        val before = acc.getOrElse(offB.value.getOrElse(r.getAs[Int]("__pid"), 0L))
+        acc = Some(before + n)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    cum
       // integral `div`, not floor(x / c): double division loses exactness
       // past 2^53 total tokens (~10^15 — a real corpus size)
       .withColumn("chunk_first", call_function("div", col("cum_before"), lit(chunkTokens.toLong)))

@@ -225,6 +225,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("plan shapes: hashSplit is scan-side (no Exchange); packPlan cumsum adds no Exchange") {
+    val ids = spark.range(1000).select(col("id").as("doc_id"), (col("id") % 7).as("n_tokens"))
+    val split = TextOps.hashSplit(ids.select("doc_id"), "doc_id",
+      Seq("train" -> 9000, "test" -> 1000))
+    split.count()
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"hashSplit must be a pure scan-side map:\n${splitPlan.take(800)}")
+    val pack = TextOps.packPlan(ids, "doc_id", "n_tokens", 64)
+    pack.count()
+    // everything above the persisted range-partitioned relation must be
+    // shuffle-free: the cumsum is sortWithinPartitions + mapPartitions, NOT
+    // a Window.partitionBy(pid) (which would re-Exchange the whole table)
+    val packPlanStr = pack.queryExecution.executedPlan.toString
+    val aboveCache = packPlanStr.split("InMemoryTableScan").head
+    assert(aboveCache.contains("MapPartitions"), packPlanStr.take(1200))
+    assert(!aboveCache.contains("Exchange"),
+      s"packPlan above the cached range partition must not shuffle:\n${packPlanStr.take(1200)}")
+  }
+
   test("contaminationScreen counts benchmark k-grams per corpus doc, zero-filled") {
     def grams(s: String, k: Int): Set[String] =
       s.split(" ").sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet

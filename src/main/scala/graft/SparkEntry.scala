@@ -206,6 +206,13 @@ object SparkEntry {
       TextOps.packPlan(TextOps.tokenCount(t(s, d, "documents"), "text"),
           "doc_id", "n_tokens", 256)
         .orderBy("doc_id")),
+    "td_mixture" -> ((s, d) =>
+      // domain-mixture resampling: 50/30/20 target over three sources, the
+      // feasible total and per-source quotas derived from the data
+      TextOps.mixturePlan(t(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
 
     "td_dedup_clusters" -> ((s, d) => {
       // duplicate-CLUSTER assignment: connected components over the EXACT
@@ -1107,6 +1114,26 @@ object SparkEntry {
          |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs FROM $smOut)
          |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS BIGINT) AS rank, doc_id
          |FROM sgn QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin
+    },
+
+    // -- mixture plan: feasible total T = min(n_s / w_s) and quotas
+    //    floor(T * w_s) in shared long/double IEEE arithmetic (weights as
+    //    scientific literals -> DOUBLE, never DECIMAL), selection replayed
+    //    by the sign-bridged splitmix64 rank --
+    "td_mixture" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("src", Seq("doc_id", "source"))
+      s"""WITH w(source, wt) AS (VALUES ('src0', 5e-1), ('src1', 3e-1), ('src2', 2e-1)),
+         |cnt AS (SELECT source, count(*) AS n FROM documents JOIN w USING (source) GROUP BY source),
+         |tt AS (SELECT min(n / wt) AS t FROM cnt JOIN w USING (source)),
+         |k AS (SELECT w.source, CAST(floor(tt.t * w.wt) AS BIGINT) AS kq FROM w, tt),
+         |src AS (SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS z FROM documents JOIN w USING (source)),
+         |$smCtes,
+         |sgn AS (SELECT doc_id, source,
+         |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS hs FROM $smOut),
+         |r AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS BIGINT) AS rank FROM sgn)
+         |SELECT r.source, r.rank, r.doc_id FROM r JOIN k ON r.source = k.source AND r.rank <= k.kq
+         |ORDER BY r.source, r.rank""".stripMargin
     },
 
     // -- packing plan: the distributed prefix sum replayed as ONE ordered

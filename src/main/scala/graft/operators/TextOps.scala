@@ -625,7 +625,15 @@ object TextOps {
    * only the <= salts*k survivors meet in the exact per-stratum rank.
    */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
-                       k: Int): DataFrame = {
+                       k: Int): DataFrame =
+    twoStageStrataRank(df, strataCol, idCol, lit(k))
+
+  /** The shared salted two-stage per-stratum rank: stage 1 caps (stratum,
+    * salt) groups (a dominant stratum never funnels through one reducer),
+    * stage 2 ranks the <= salts*k survivors exactly. kCol may be per-row
+    * (per-stratum quotas joined on). */
+  private def twoStageStrataRank(df: DataFrame, strataCol: String,
+                                 idCol: String, kCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val salts = df.sparkSession.sessionState.conf.numShufflePartitions
     val hashed = df.withColumn("__hs", sm64Udf(col(idCol)))
@@ -635,9 +643,44 @@ object TextOps {
     val wGlobal = Window.partitionBy(col(strataCol))
       .orderBy(col("__hs"), col(idCol))
     hashed
-      .withColumn("__r0", row_number().over(wLocal)).where(col("__r0") <= k)
+      .withColumn("__r0", row_number().over(wLocal)).where(col("__r0") <= kCol)
       .withColumn("rank", row_number().over(wGlobal).cast("long"))
-      .where(col("rank") <= k)
+      .where(col("rank") <= kCol)
       .drop("__hs", "__salt", "__r0")
+  }
+
+  /** Per-stratum quota sample: each stratum keeps its own ks(stratum)
+    * smallest-hash rows; strata absent from ks are dropped. Quotas are
+    * driver-small by contract (one entry per source/domain) and broadcast. */
+  def sampleByStrataCounts(df: DataFrame, strataCol: String, idCol: String,
+                           ks: Map[String, Long]): DataFrame = {
+    val ksDf = df.sparkSession.createDataFrame(ks.toSeq).toDF(strataCol, "__k")
+    twoStageStrataRank(df.join(broadcast(ksDf), strataCol), strataCol, idCol,
+      col("__k")).drop("__k")
+  }
+
+  /**
+   * Domain-mixture resampling plan: given target mixture weights per source
+   * (summing to 1 over the sources to keep), pick the LARGEST feasible total
+   * T = min_s(n_s / w_s) — no source can be oversampled without replacement —
+   * and keep exactly floor(T * w_s) rows per source, chosen deterministically
+   * by the stratified hash order. The per-source counts are one partial-agg
+   * shuffle + an O(#sources) collect; selection is sampleByStrataCounts.
+   * All arithmetic is shared-IEEE (long/double divide, min, floor), so the
+   * DuckDB oracle replays T and every quota bit-exactly.
+   */
+  def mixturePlan(df: DataFrame, idCol: String, srcCol: String,
+                  weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(srcCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feasible = weights.collect {
+      case (s, w) if w > 0 && counts.contains(s) => counts(s) / w
+    }
+    require(feasible.nonEmpty, "no weighted source present in the data")
+    val t = feasible.min
+    val ks = weights.collect {
+      case (s, w) if w > 0 && counts.contains(s) => s -> math.floor(t * w).toLong
+    }
+    sampleByStrataCounts(df, srcCol, idCol, ks)
   }
 }

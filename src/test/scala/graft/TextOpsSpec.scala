@@ -225,6 +225,28 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("mixturePlan: feasible total, exact per-source quotas, deterministic picks") {
+    // skewed sources: a=100, b=30, c=10 rows; weights 0.5/0.3/0.2
+    // T = min(100/0.5, 30/0.3, 10/0.2) = 50 -> quotas 25/15/10
+    val rows = (0L until 100L).map(i => (i, "a")) ++
+      (100L until 130L).map(i => (i, "b")) ++ (130L until 140L).map(i => (i, "c")) ++
+      (140L until 150L).map(i => (i, "ignored"))
+    val df = rows.toDF("doc_id", "source").repartition(9)
+    val got = TextOps.mixturePlan(df, "doc_id", "source",
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+      .select("source", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val quotas = Map("a" -> 25, "b" -> 15, "c" -> 10)
+    val exp = rows.filter(r => quotas.contains(r._2)).groupBy(_._2).flatMap {
+      case (s, rs) => rs.map(_._1)
+        .sortBy(id => (graft.model.Fixtures.splitmix64(id), id)).take(quotas(s))
+        .zipWithIndex.map { case (id, i) => (s, (i + 1).toLong, id) }
+    }.toSet
+    assert(got == exp)
+    assert(got.count(_._1 == "a") == 25 && got.count(_._1 == "b") == 15 &&
+      got.count(_._1 == "c") == 10 && !got.exists(_._1 == "ignored"))
+  }
+
   test("plan shapes: hashSplit is scan-side (no Exchange); packPlan cumsum adds no Exchange") {
     val ids = spark.range(1000).select(col("id").as("doc_id"), (col("id") % 7).as("n_tokens"))
     val split = TextOps.hashSplit(ids.select("doc_id"), "doc_id",

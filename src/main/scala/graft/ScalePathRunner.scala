@@ -59,6 +59,23 @@ object ScalePathRunner {
       assert(rows == 500000L, s"expected one settled row per site, got $rows")
     }
 
+    if (which == "pack") {
+      // distributed prefix sum at 100M rows: the driver holds O(partitions)
+      // longs; a global Window would funnel all 100M rows through one task
+      val n = 100000000L
+      val df = spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 1000).as("n_tokens"))
+      val t0 = System.nanoTime()
+      val out = graft.operators.TextOps.packPlan(df, "doc_id", "n_tokens", 8192)
+      val agg = out.agg(count(lit(1)).as("rows"), max(col("chunk_last")).as("maxc"),
+        sum(col("n_tokens")).as("toks")).head
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (rows, maxc, toks) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      println(f"RESULT pack rows=$rows maxChunk=$maxc tokens=$toks sec=$sec%.1f")
+      assert(rows == n, s"row count $rows")
+      assert(maxc == (toks - 1) / 8192, s"last chunk $maxc vs ${(toks - 1) / 8192}")
+    }
+
     if (which == "both" || which == "cc") {
       // 100 chains of 50k vertices with ids SCRAMBLED along the chain by an
       // arithmetic permutation (pos -> pos*48271 mod 50000, coprime stride),

@@ -29,18 +29,23 @@ object Pipeline {
   case class StageReport(table: String, reused: Boolean, rows: Long,
                          bytes: Long, files: Int, lineage: Seq[String])
 
+  private def stagedRunner(spark: SparkSession, root: String,
+      reports: scala.collection.mutable.Builder[StageReport, Seq[StageReport]])(
+      table: String, lineage: Seq[String])(body: => DataFrame): DataFrame = {
+    val before = Snapshots.latestFor(root, table)
+    val out = Snapshots.stage(spark, root, table, lineage)(body)
+    val snap = Snapshots.latestFor(root, table).get
+    reports += StageReport(table, before.isDefined, snap.rows, snap.bytes,
+      snap.files, snap.lineage)
+    out
+  }
+
   /** Run (or resume) the staged flagship; returns per-stage reports. */
   def run(spark: SparkSession, root: String, nRows: Long,
           partitions: Int = 32): Seq[StageReport] = {
     val reports = Seq.newBuilder[StageReport]
-    def staged(table: String, lineage: Seq[String])(body: => DataFrame): DataFrame = {
-      val before = Snapshots.latestFor(root, table)
-      val out = Snapshots.stage(spark, root, table, lineage)(body)
-      val snap = Snapshots.latestFor(root, table).get
-      reports += StageReport(table, before.isDefined, snap.rows, snap.bytes,
-        snap.files, snap.lineage)
-      out
-    }
+    def staged(table: String, lineage: Seq[String])(body: => DataFrame): DataFrame =
+      stagedRunner(spark, root, reports)(table, lineage)(body)
 
     // decode stage: the north rule's per-row invariant (each image decoded
     // ONCE; PSNR >= 40 dB for lossy, caption byte-equality) recorded as a
@@ -68,7 +73,62 @@ object Pipeline {
     reports.result()
   }
 
+  /**
+   * The training-corpus preparation flow under the SAME resumability
+   * contract — the north rule's checkpoint/lineage discipline applied to the
+   * pipeline-operator plane:
+   *
+   *   stage `corpus_clean` — exact-dedup keepers (one row per distinct text)
+   *   stage `corpus_split` — deterministic 80/10/10 train/val/test
+   *   stage `corpus_pack`  — 256-token packing plan over the train split
+   *
+   * Each stage's snapshot lineage names its upstream table, so a resumed run
+   * skips committed stages and the chunk plan is traceable back through the
+   * split to the dedup decision that admitted each document.
+   */
+  def runCorpus(spark: SparkSession, root: String,
+                documents: DataFrame): Seq[StageReport] = {
+    import graft.operators.TextOps
+    val reports = Seq.newBuilder[StageReport]
+    def staged(table: String, lineage: Seq[String])(body: => DataFrame): DataFrame =
+      stagedRunner(spark, root, reports)(table, lineage)(body)
+    val clean = staged("corpus_clean", Seq("documents")) {
+      val keep = TextOps.dedupExact(documents, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      documents.join(keep, "doc_id")
+    }
+    val split = staged("corpus_split", Seq("corpus_clean")) {
+      TextOps.hashSplit(clean, "doc_id",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("text"), col("split"))
+    }
+    staged("corpus_pack", Seq("corpus_split")) {
+      TextOps.packPlan(
+        TextOps.tokenCount(split.where(col("split") === "train"), "text"),
+        "doc_id", "n_tokens", 256)
+    }
+    reports.result()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("corpus")) {
+      val root = args.lift(1).getOrElse("/tmp/graft-corpus-pipeline")
+      val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+      val spark = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      runCorpus(spark, root, docs).foreach { r =>
+        println(s"[pipeline] ${r.table}: ${if (r.reused) "RESUMED" else "computed"} " +
+          s"rows=${r.rows} bytes=${r.bytes} files=${r.files} lineage=${r.lineage.mkString(",")}")
+      }
+      spark.stop()
+      return
+    }
     val root = args.headOption.getOrElse("/tmp/graft-pipeline")
     val n = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val spark = SparkSession.builder()

@@ -61,4 +61,37 @@ class PipelineSpec extends SparkSuite {
     }
     assert(resumed == direct, s"resumed=${resumed.size} direct=${direct.size}")
   }
+
+  test("corpus pipeline: dedup -> split -> pack commits, resumes, and stays consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val docs = (0L until 300L).map { i =>
+      // 60 duplicate texts planted: ids 200..259 repeat texts 0..59
+      val tid = if (i >= 200 && i < 260) i - 200 else i
+      (i, s"tok${tid % 7} doc $tid body " + ("x " * (tid % 5).toInt).trim)
+    }.toSeq
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text").repartition(6)
+    val reports = Pipeline.runCorpus(spark, root, df)
+    assert(reports.map(_.table) == Seq("corpus_clean", "corpus_split", "corpus_pack"))
+    assert(reports.forall(r => !r.reused && r.rows > 0))
+    // clean keeps exactly one row per distinct text
+    val distinctTexts = docs.map(_._2).distinct.size
+    assert(reports.find(_.table == "corpus_clean").get.rows == distinctTexts)
+    // splits partition the clean set
+    val splitSnap = Snapshots.latestFor(root, "corpus_split").get
+    val split = spark.read.parquet(splitSnap.dataPath)
+    assert(split.count() == distinctTexts &&
+      split.select("split").distinct().collect().map(_.getString(0)).toSet
+        .subsetOf(Set("train", "val", "test")))
+    // the pack plan covers exactly the train split, contiguously
+    val packSnap = Snapshots.latestFor(root, "corpus_pack").get
+    val pack = spark.read.parquet(packSnap.dataPath)
+    val trainN = split.where(col("split") === "train").count()
+    assert(pack.count() == trainN)
+    assert(reports.find(_.table == "corpus_pack").get.lineage == Seq("corpus_split"))
+    // re-entry resumes all three stages with identical rows
+    val again = Pipeline.runCorpus(spark, root, df)
+    assert(again.forall(_.reused) &&
+      again.map(r => r.table -> r.rows) == reports.map(r => r.table -> r.rows))
+  }
 }

@@ -26,6 +26,45 @@ class SkewSpec extends SparkSuite {
       s"merge hint must force a shuffle join:\n${mergePlanStr.take(800)}")
   }
 
+  test("AQE actually SPLITS the hot cell: final adaptive plan marks the join skew=true") {
+    // one synthetic hot key holding ~90% of the left side; thresholds
+    // lowered so the fixture-scale skew crosses AQE's split bounds — the
+    // assertion is on the FINAL adaptive plan after execution, which is
+    // where OptimizeSkewedJoin rewrites the sort-merge join
+    val saved = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      import spark.implicits._
+      val left = spark.range(400000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 97).as("k"),
+        col("id").as("v"))
+      val right = spark.range(97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS Dataset's own QueryExecution: count() plans its own
+      // aggregate on top and foreach() goes through the separate
+      // rddQueryExecution — both leave joined's adaptive plan unfinalized
+      // (the same exact-Dataset rule as observe() metrics, CLAUDE.md).
+      // collect() is the action bound to joined.queryExecution.
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must split the hot key's partition (skew=true missing):\n${finalPlan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables join on cell16 with NO exchange on either side (co-located layout)") {
     val points = Fixtures.points(spark, sf001).select("point_id", "lat", "lng", "cell16")
     graft.index.FeatureIndex.buildBucketedTable(points, "bk_points", nBuckets = 8)

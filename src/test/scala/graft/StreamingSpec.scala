@@ -139,4 +139,26 @@ class StreamingSpec extends SparkSuite {
     // one committed snapshot per micro-batch (the resumable merge history)
     assert(graft.checkpoint.Snapshots.history(root, "pip_stream").size == nBatches)
   }
+
+  test("hashSplit is stream-compatible: per-row assignment identical batch vs streaming") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val batch = graft.operators.TextOps.hashSplit(docs, "doc_id",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.operators.TextOps.hashSplit(stream, "doc_id",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("doc_id", "split")
+      .writeStream.outputMode("append").format("memory").queryName("st_split")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("st_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && batch.size == 500,
+      "split assignment must be a pure row function — identical on a stream")
+  }
 }

@@ -36,27 +36,37 @@ object ScalePathRunner {
     import graft.functions.CellExprs._
 
     if (which == "both" || which == "knn") {
-      // the 1e5-site spec's lattice, scaled 10x points / 5x sites: same span,
-      // so ring-1 settles nearly everything and the loop cost is the honest
-      // per-ring overhead, not an artificial far-site tail
-      val nSide = 1000
+      // the 1e5-site spec's lattice generalized as WEAK scaling: points =
+      // ~2x sites and the span grows with sqrt(sites), so POINT DENSITY PER
+      // LEVEL-15 CELL stays constant (a bigger metro, same building density)
+      // and ring-1 settles nearly everything. Keeping the span fixed instead
+      // quadruples density at 4x sites and blows the ring-1 candidate set up
+      // 24x (measured: 380s vs the expected ~4x of 11s) — density, not site
+      // count, is what the ring join's cost tracks.
+      // SPARK_GRAFT_KNN_SITES=500000 (default) reproduces the recorded runs;
+      // 2000000 is the 4x weak-scaling stretch point.
+      val nSites = sys.env.getOrElse("SPARK_GRAFT_KNN_SITES", "500000").toLong
+      val span = 5.0 * math.sqrt(nSites / 500000.0)
+      val nSide = math.sqrt(nSites * 2.0).round.toInt
+      val pSpacing = span / nSide
+      val sSide = math.ceil(math.sqrt(nSites.toDouble)).toInt
+      val sSpacing = span / sSide
       val pts = spark.range(nSide.toLong * nSide)
         .withColumn("point_id", col("id"))
-        .withColumn("lat", lit(50.0) + (col("id") % nSide).cast("double") * lit(0.005))
-        .withColumn("lng", lit(0.0) + floor(col("id") / nSide).cast("double") * lit(0.005))
+        .withColumn("lat", lit(50.0) + (col("id") % nSide).cast("double") * lit(pSpacing))
+        .withColumn("lng", lit(0.0) + floor(col("id") / nSide).cast("double") * lit(pSpacing))
         .withColumn("cell16", cell_of(col("lat"), col("lng"), lit(16)))
         .drop("id")
-      val sSide = 708 // 708*708 > 5e5, trimmed to exactly 500k on the same span
-      val sites = spark.range(500000L)
+      val sites = spark.range(nSites)
         .withColumn("site_id", col("id"))
-        .withColumn("site_lat", lit(50.002) + (col("id") % sSide).cast("double") * lit(0.00706))
-        .withColumn("site_lng", lit(0.002) + floor(col("id") / sSide).cast("double") * lit(0.00706))
+        .withColumn("site_lat", lit(50.002) + (col("id") % sSide).cast("double") * lit(sSpacing))
+        .withColumn("site_lng", lit(0.002) + floor(col("id") / sSide).cast("double") * lit(sSpacing))
         .drop("id")
       val t0 = System.nanoTime()
       val rows = SpatialJoins.knnJoinDistributed(pts, sites, k = 1, level = 15).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"RESULT knn rows=$rows sec=$sec%.1f")
-      assert(rows == 500000L, s"expected one settled row per site, got $rows")
+      println(f"RESULT knn sites=$nSites points=${nSide.toLong * nSide} rows=$rows sec=$sec%.1f")
+      assert(rows == nSites, s"expected one settled row per site, got $rows")
     }
 
     if (which == "pack") {

@@ -276,7 +276,16 @@ object SpatialJoins {
     var nActive: Long = active.count()
     var ring = 1
     var prevRing = 0
-    var deltas: List[DataFrame] = Nil
+    // candidates carried between rings: ONLY each still-active site's current
+    // top-k (top-k merging is associative — top-k(A ∪ B) = top-k(top-k(A) ∪ B)
+    // on the (dist, point_id) order — so shrinking to top-k per ring is
+    // lossless for the k-NN result). vs carrying raw ring deltas: wall time
+    // is flat on the dense 2-4-ring fixtures (the tail actives are few, so
+    // re-scanning old deltas was cheap there), but the carried set is
+    // BOUNDED at active x k rows regardless of ring count — the property
+    // that matters for sparse sites / distance-capped runs where the ring
+    // tail is long and the delta list would otherwise keep growing.
+    var carried: Option[DataFrame] = None
     var settled: List[DataFrame] = List(emptySettled)
     while (nActive > 0) {
       val siteCell = cell_of(col(siteLat), col(siteLng), lit(level))
@@ -290,8 +299,7 @@ object SpatialJoins {
       val delta = pts.join(siteCells, col("__pc") === col("__sc"))
         .withColumn("__dist", haversine_m(col("lat"), col("lng"), col(siteLat), col(siteLng)))
         .localCheckpoint(eager = false)
-      deltas ::= delta
-      val cand = deltas.reduceLeft(_ unionByName _)
+      val cand = carried.map(_.unionByName(delta)).getOrElse(delta)
         .join(active.select(col("site_id")), Seq("site_id"), "left_semi")
       val w = Window.partitionBy(col("site_id")).orderBy(col("__dist"), col("point_id"))
       val wSite = Window.partitionBy(col("site_id"))
@@ -313,6 +321,10 @@ object SpatialJoins {
         else active.where(!capSettledCol(ring, col(siteLat)))
           .join(finished.select(col("site_id")), Seq("site_id"), "left_anti")
           .localCheckpoint(eager = false)
+      // next ring's carried set: the unsettled sites' top-k (<= active x k
+      // rows — the carried set never grows with ring count)
+      carried = Some(top.where(!col("__ok")).drop("rank", "__ok")
+        .localCheckpoint(eager = false))
       // THE per-ring action: materializes the candidate delta, the settled
       // delta (via the anti-join's build side) and the pruned active set
       nActive = if (gridExhausted) 0 else nextActive.count()

@@ -164,6 +164,9 @@ object SparkEntry {
       .select("doc_id", "lang_pred").orderBy("doc_id")),
     "td_quality" -> ((s, d) => TextOps.quality(t(s, d, "documents"), "text")
       .select("doc_id", "quality").orderBy("doc_id")),
+    "td_repetition" -> ((s, d) => TextOps.repetitionSignals(t(s, d, "documents"), "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram", "top_bigram_frac")
+      .orderBy("doc_id")),
     "td_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"), "doc_id", "text")
       .orderBy("content_hash")),
     "td_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"), "text")
@@ -869,6 +872,36 @@ object SparkEntry {
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
     "td_quality" ->
       s"SELECT doc_id, ${TextOps.qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
+    // Gopher repetition signals: exact integer counts per doc, two final
+    // double divisions; tie rule (count DESC, bigram ASC) mirrored in the
+    // Spark-side HashMap scan (TextOps.repetitionSignals).
+    "td_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, any_value(n_chars) AS n_chars, count(*) AS n_words,
+        |         count(DISTINCT word) AS n_distinct
+        |  FROM w GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM w),
+        |bgc AS (
+        |  SELECT doc_id, bigram, count(*) AS c FROM bg
+        |  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+        |top AS (
+        |  SELECT doc_id, bigram, c,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram ASC) AS rn
+        |  FROM bgc)
+        |SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+        |       CAST(s.n_words - s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS dup_word_frac,
+        |       t.bigram AS top_bigram,
+        |       CAST(t.c * length(t.bigram) AS DOUBLE) / CAST(s.n_chars AS DOUBLE) AS top_bigram_frac
+        |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY s.doc_id""".stripMargin,
     "td_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY 1 ORDER BY content_hash",
     "w_overlay" ->

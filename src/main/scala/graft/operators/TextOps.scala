@@ -56,6 +56,52 @@ object TextOps {
        | END)""".stripMargin.replace("\n", " ")
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models: Gopher", table A1 repetition filters — the
+    * quality plane's sibling to [[quality]]): the duplicate-word fraction
+    * and the character fraction claimed by the most frequent word bigram.
+    * All counting is exact integers in one tight JVM pass per document
+    * (a single HashMap scan — zero shuffle, embarrassingly parallel at
+    * corpus scale; the interpreted-HOF alternative is the O(len^2)
+    * shingling trap recorded in CLAUDE.md). Only the two final divisions
+    * are doubles, so a DuckDB oracle replays the result bit-exactly
+    * (unnest + group by with the same tie rule: highest count, then
+    * lexicographically smallest bigram). Documents with fewer than two
+    * words report a NULL bigram and NULL bigram fraction. */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val rep = udf((text: String) => {
+      val ws = text.split(" ", -1)
+      val distinct = new scala.collection.mutable.HashSet[String]
+      val bg = new scala.collection.mutable.HashMap[String, Int]
+      var i = 0
+      while (i < ws.length) {
+        distinct.add(ws(i))
+        if (i + 1 < ws.length) {
+          val b = ws(i) + " " + ws(i + 1)
+          bg.update(b, bg.getOrElse(b, 0) + 1)
+        }
+        i += 1
+      }
+      var bestB: String = null
+      var bestC = 0
+      bg.foreach { case (b, c) =>
+        if (c > bestC || (c == bestC && b < bestB)) { bestB = b; bestC = c }
+      }
+      (ws.length, distinct.size, bestB, bestC)
+    })
+    df.withColumn("_rep", rep(col(textCol)))
+      .withColumn("n_words", col("_rep._1").cast("long"))
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("_rep._2").cast("long")).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("top_bigram", col("_rep._3"))
+      .withColumn("top_bigram_frac",
+        when(col("_rep._4") > 0,
+          (col("_rep._4").cast("long") * length(col("top_bigram"))).cast("double") /
+            length(col(textCol)).cast("double")))
+      .drop("_rep")
+  }
+
   def tokenCount(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", expr(tokenCountSql(textCol)))
 

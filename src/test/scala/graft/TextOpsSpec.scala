@@ -303,4 +303,45 @@ class TextOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got3 == expected(3) && got3.subsetOf(got))
   }
+
+  test("repetitionSignals: exact fractions vs a brute-force oracle, tie rule, degenerate docs") {
+    // brute force: group words / bigrams in plain Scala collections
+    def brute(text: String): (Long, Double, Option[String], Option[Double]) = {
+      val ws = text.split(" ", -1)
+      val dup = (ws.length - ws.distinct.length).toDouble / ws.length
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) (ws.length.toLong, dup, None, None)
+      else {
+        val counts = bgs.groupBy(identity).view.mapValues(_.size).toSeq
+        val (b, c) = counts.minBy { case (bg, n) => (-n, bg) }
+        (ws.length.toLong, dup, Some(b), Some(c.toDouble * b.length / text.length))
+      }
+    }
+    val cases = Seq(
+      (1L, "a a a a b"),                        // heavy repetition
+      (2L, "x y x y x y z"),                    // bigram tie candidates: "x y" 3, "y x" 2
+      (3L, "b a b a a b a b"),                  // ties: "a b" 3 vs "b a" 3 -> "a b" wins (asc)
+      (4L, "single"),                           // one word: NULL bigram
+      (5L, "unique words only here now"),       // dup frac 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(cases, "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram", "top_bigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+         Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    for ((id, text) <- Seq((1L, "a a a a b"), (2L, "x y x y x y z"),
+        (3L, "b a b a a b a b"), (4L, "single"), (5L, "unique words only here now")))
+      assert(got(id) == brute(text), s"doc $id")
+    assert(got(3L)._3.contains("a b"), "tie must resolve to the lexicographically smaller bigram")
+    // and on the real fixture table: every row equals brute force
+    val docsGot = TextOps.repetitionSignals(docs, "text")
+      .select("doc_id", "text", "n_words", "dup_word_frac", "top_bigram", "top_bigram_frac")
+      .collect()
+    docsGot.foreach { r =>
+      val exp = brute(r.getString(1))
+      val act = (r.getLong(2), r.getDouble(3), Option(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      assert(act == exp, s"doc ${r.getLong(0)}")
+    }
+  }
 }

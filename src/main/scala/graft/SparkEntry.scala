@@ -167,6 +167,27 @@ object SparkEntry {
     "td_repetition" -> ((s, d) => TextOps.repetitionSignals(t(s, d, "documents"), "text")
       .select("doc_id", "n_words", "dup_word_frac", "top_bigram", "top_bigram_frac")
       .orderBy("doc_id")),
+    "td_pii" -> ((s, d) => {
+      // deterministic PII injection (the fixture corpus has none), then the
+      // C4/Dolma-style scrub: every doc gets one email; %3==0 docs a second
+      // email; %2==0 docs a phone. Counts, scrubbed length and md5 oracled.
+      val injected = t(s, d, "documents").withColumn("txt",
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"), lit("@corp.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" now")))
+      TextOps.piiScrub(injected, "txt")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+          md5(col("scrubbed").cast("binary")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
     "td_dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d, "documents"), "doc_id", "text")
       .orderBy("content_hash")),
     "td_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d, "documents"), "text")
@@ -872,6 +893,30 @@ object SparkEntry {
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
     "td_quality" ->
       s"SELECT doc_id, ${TextOps.qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
+    // PII scrub: injected emails/phones (CASE-varied), Java-regex/RE2-common
+    // pattern syntax; counts + scrubbed length + scrubbed md5 replayed.
+    "td_pii" ->
+      (s"""WITH d AS (
+        |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.org'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END || ' now' AS txt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(txt, '${TextOps.EmailPattern}')) AS n_emails,
+        |    len(regexp_extract_all(txt, '${TextOps.PhonePattern}')) AS n_phones,
+        |    regexp_replace(regexp_replace(txt, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+        |                   '${TextOps.PhonePattern}', '<PHONE>', 'g') AS scrubbed
+        |  FROM d)
+        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+        |       CAST(n_phones AS BIGINT) AS n_phones,
+        |       length(scrubbed) AS n_chars_scrubbed, md5(scrubbed) AS scrub_md5
+        |FROM s ORDER BY doc_id""".stripMargin),
     // Gopher repetition signals: exact integer counts per doc, two final
     // double divisions; tie rule (count DESC, bigram ASC) mirrored in the
     // Spark-side HashMap scan (TextOps.repetitionSignals).

@@ -102,6 +102,24 @@ object TextOps {
       .drop("_rep")
   }
 
+  /** PII scrubbing (the C4/Dolma-style redaction stage of a training-data
+    * pipeline): counts and redacts email addresses and phone-shaped digit
+    * runs with <EMAIL>/<PHONE> tokens. The patterns are restricted to
+    * syntax with identical semantics in Java regex and RE2 (character
+    * classes + counted repetition — no backrefs, no lookaround), so a
+    * DuckDB oracle replays counts, scrubbed lengths and the scrubbed md5
+    * bit-exactly. Per-row codegen'd regexp expressions — zero shuffle,
+    * scan-side at corpus scale. */
+  val EmailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PhonePattern: String = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
   def tokenCount(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", expr(tokenCountSql(textCol)))
 

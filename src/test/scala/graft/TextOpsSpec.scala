@@ -304,6 +304,27 @@ class TextOpsSpec extends SparkSuite {
     assert(got3 == expected(3) && got3.subsetOf(got))
   }
 
+  test("piiScrub: counts and redacts emails/phones; Java-regex result matches RE2 semantics") {
+    val cases = Seq(
+      (1L, "write to alice.smith@example.com or bob@sub.domain.org today"),
+      (2L, "call +1-555-0142 or 020-7946-0958 now"),
+      (3L, "mixed a@b.io and +44-20-7946-0958 and c.d%e@f-g.co.uk end"),
+      (4L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(cases, "text")
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 0L, "write to <EMAIL> or <EMAIL> today")))
+    assert(got(2L) == ((0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(got(3L) == ((2L, 1L, "mixed <EMAIL> and <PHONE> and <EMAIL> end")))
+    assert(got(4L) == ((0L, 0L, "no pii here at all")))
+    // RE2 (DuckDB) replays the same counts and scrubbed strings — the gate's
+    // td_pii oracle asserts this bit-exactly on the injected corpus; here we
+    // assert the patterns avoid Java-only syntax (no backrefs/lookaround).
+    assert(!TextOps.EmailPattern.matches(".*\\(\\?[=<!].*") &&
+      !TextOps.PhonePattern.contains("(?"))
+  }
+
   test("repetitionSignals: exact fractions vs a brute-force oracle, tie rule, degenerate docs") {
     // brute force: group words / bigrams in plain Scala collections
     def brute(text: String): (Long, Double, Option[String], Option[Double]) = {

@@ -248,6 +248,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- image curation gate (LAION/DataComp-style min-dim/aspect/caption) --
+    "mm_filter" -> ((s, d) => {
+      // input_hint-shaped metadata derived deterministically from documents:
+      // w/h from integer mixes, caption from text (every 11th truncated so
+      // the caption rule fires too). All-integer gate, replayed in DuckDB.
+      val meta = t(s, d, "documents").select(
+        col("doc_id").as("image_id"),
+        (lit(16) + (col("doc_id") * 7919) % 4096).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 104729) % 4096).cast("int").as("h"),
+        when(col("doc_id") % 11 === 0, lit("tiny cap")).otherwise(col("text")).as("caption"))
+      ImageOps.curationFilter(meta)
+        .select(col("image_id"), col("w"), col("h"), col("drop_reason"))
+        .orderBy("image_id")
+    }),
+
     // -- image near-dup by perceptual hash (input_hint phash:int64 column) --
     "mm_phash_neardup" -> ((s, d) => {
       // deterministic splitmix64 phashes + injected Hamming-2 clones; the
@@ -893,6 +908,21 @@ object SparkEntry {
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
     "td_quality" ->
       s"SELECT doc_id, ${TextOps.qualitySql("text")} AS quality FROM documents ORDER BY doc_id",
+    // image curation gate: all-integer rules (aspect via multiplication,
+    // not division) + the shared token-count fragment — first-match reason.
+    "mm_filter" ->
+      (s"""WITH m AS (
+        |  SELECT doc_id AS image_id,
+        |         CAST(16 + (doc_id * 7919) % 4096 AS INT) AS w,
+        |         CAST(16 + (doc_id * 104729) % 4096 AS INT) AS h,
+        |         CASE WHEN doc_id % 11 = 0 THEN 'tiny cap' ELSE text END AS caption
+        |  FROM documents)
+        |SELECT image_id, w, h,
+        |       CASE WHEN w < 256 OR h < 256 THEN 'small'
+        |            WHEN greatest(w, h) > 3 * least(w, h) THEN 'aspect'
+        |            WHEN ${TextOps.tokenCountSql("caption")} < 5 THEN 'caption'
+        |            END AS drop_reason
+        |FROM m ORDER BY image_id""".stripMargin),
     // PII scrub: injected emails/phones (CASE-varied), Java-regex/RE2-common
     // pattern syntax; counts + scrubbed length + scrubbed md5 replayed.
     "td_pii" ->

@@ -44,6 +44,28 @@ object ImageOps {
         (col(s"${captionCol}_a") === col(s"${captionCol}_b")).as("caption_match"))
   }
 
+  /** LAION/DataComp-style image-curation gate over the input_hint row shape
+    * (w:int, h:int, caption:string): first-match drop reason, NULL = keep.
+    * Rules: minimum dimension, maximum aspect ratio, minimum caption token
+    * count. The aspect test stays in INTEGER arithmetic
+    * (greatest(w,h) > maxAspect * least(w,h)) so a DuckDB oracle replays the
+    * gate bit-exactly; token counting reuses the shared engine-portable
+    * fragment ([[TextOps.tokenCountSql]]). Pure per-row expressions — the
+    * gate rides the parquet scan at corpus scale (no shuffle, fully
+    * codegen'd). */
+  def curationFilter(images: DataFrame, minDim: Int = 256, maxAspect: Int = 3,
+                     minCaptionTokens: Int = 5,
+                     wCol: String = "w", hCol: String = "h",
+                     captionCol: String = "caption"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    images.withColumn("drop_reason",
+      when(col(wCol) < minDim || col(hCol) < minDim, "small")
+        .when(greatest(col(wCol), col(hCol)) >
+          lit(maxAspect) * least(col(wCol), col(hCol)), "aspect")
+        .when(expr(TextOps.tokenCountSql(captionCol)) < minCaptionTokens, "caption")
+        .otherwise(lit(null).cast("string")))
+  }
+
   /** Image near-duplicate PAIRS by perceptual hash: 4x16-bit banded Hamming
     * join over the `phash` column (TextOps.hammingPairs64) — the image-space
     * member of the dedup family next to text simhash. Recall is exact to

@@ -80,6 +80,33 @@ class ImageSpec extends SparkSuite {
     assert(got((10L, 10010L)) === false, "relabeled near-dup must flag as conflict")
   }
 
+  test("curationFilter: first-match drop reason per LAION-style rule set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("keep", 512, 512, "a fine picture of a canal bridge"),
+      ("small-w", 100, 512, "a fine picture of a canal bridge"),
+      ("small-h", 512, 255, "a fine picture of a canal bridge"),
+      ("aspect", 2048, 512, "a fine picture of a canal bridge"),     // 4:1 > 3:1
+      ("aspect-edge-keep", 1536, 512, "a fine picture of a bridge"), // exactly 3:1 keeps
+      ("caption", 512, 512, "too short"),
+      ("small-wins", 100, 512, "too short"),                         // small before caption
+      ("tokens-edge-keep", 512, 512, "one two three four five"),     // exactly 5 keeps
+    ).toDF("image_id", "w", "h", "caption")
+    val got = graft.operators.ImageOps.curationFilter(rows)
+      .select("image_id", "drop_reason").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("keep").isEmpty && got("aspect-edge-keep").isEmpty && got("tokens-edge-keep").isEmpty)
+    assert(got("small-w").contains("small") && got("small-h").contains("small"))
+    assert(got("aspect").contains("aspect"))
+    assert(got("caption").contains("caption"))
+    assert(got("small-wins").contains("small"), "rule order must be small > aspect > caption")
+    // plan shape: the gate is pure per-row expressions — no Exchange
+    val plan = graft.operators.ImageOps.curationFilter(rows)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"curation gate must not shuffle:\n$plan")
+  }
+
   test("images generator is deterministic (same seed, same bytes)") {
     val a = Fixtures.imageRow(42L)
     val b = Fixtures.imageRow(42L)

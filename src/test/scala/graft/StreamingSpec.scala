@@ -161,4 +161,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch && batch.size == 500,
       "split assignment must be a pure row function — identical on a stream")
   }
+
+  test("curation/scrub/repetition gates are stream-compatible: identical per-row results") {
+    // the three pure row-function curation stages (LAION image gate, PII
+    // scrub, Gopher repetition signals) compose into one streamed pass —
+    // the shape of a continuously-ingesting curation pipeline
+    import spark.implicits._
+    val rows = (0L until 300L).map { i =>
+      val cap = if (i % 7 == 0) "too short" else s"scene $i with a canal and a bridge at mail$i@ex.com"
+      (i, (64 + i * 37 % 2048).toInt, (64 + i * 53 % 2048).toInt, cap)
+    }.toDF("image_id", "w", "h", "caption")
+    def gates(df: org.apache.spark.sql.DataFrame) = {
+      val g = graft.operators.ImageOps.curationFilter(df, minDim = 128)
+      val p = graft.operators.TextOps.piiScrub(g, "caption")
+      graft.operators.TextOps.repetitionSignals(p, "scrubbed")
+        .select("image_id", "drop_reason", "n_emails", "scrubbed", "dup_word_frac")
+    }
+    val batch = gates(rows).collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-stream").toString
+    rows.write.mode("overwrite").parquet(dir)
+    val q = gates(spark.readStream.schema(rows.schema).parquet(dir))
+      .writeStream.outputMode("append").format("memory").queryName("st_curate")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("st_curate").collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3), r.getDouble(4))).toSet
+    assert(streamed == batch && batch.size == 300)
+    assert(batch.exists(_._3 > 0L) && batch.exists(_._2.nonEmpty),
+      "fixture must exercise both a scrub and a drop")
+  }
 }

@@ -263,6 +263,21 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // -- SDXL-style aspect-ratio bucket assignment (nearest in log-aspect) --
+    "mm_aspect_buckets" -> ((s, d) => {
+      // same input_hint-shaped w/h metadata as mm_filter; the nearest-bucket
+      // decision chain is exact integer arithmetic (r^2 vs b_i*b_{i+1}
+      // cross-multiplied), so DuckDB replays the assignment bit-for-bit
+      val meta = t(s, d, "documents").select(
+        col("doc_id").as("image_id"),
+        (lit(16) + (col("doc_id") * 7919) % 4096).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 104729) % 4096).cast("int").as("h"))
+      ImageOps.aspectBuckets(meta)
+        .select(col("image_id"), col("w"), col("h"), col("bucket_id"),
+          col("bucket_w"), col("bucket_h"))
+        .orderBy("image_id")
+    }),
+
     // -- image near-dup by perceptual hash (input_hint phash:int64 column) --
     "mm_phash_neardup" -> ((s, d) => {
       // deterministic splitmix64 phashes + injected Hamming-2 clones; the
@@ -923,6 +938,23 @@ object SparkEntry {
         |            WHEN ${TextOps.tokenCountSql("caption")} < 5 THEN 'caption'
         |            END AS drop_reason
         |FROM m ORDER BY image_id""".stripMargin),
+    // aspect-ratio bucketing: the nearest-bucket CASE chain and the
+    // id->dims lookups are generated ONCE and shared verbatim — both engines
+    // run the identical integer decision tree.
+    "mm_aspect_buckets" ->
+      (s"""WITH m AS (
+        |  SELECT doc_id AS image_id,
+        |         CAST(16 + (doc_id * 7919) % 4096 AS INT) AS w,
+        |         CAST(16 + (doc_id * 104729) % 4096 AS INT) AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT image_id, w, h,
+        |         ${ImageOps.aspectBucketCaseSql(ImageOps.DefaultAspectBuckets)} AS bucket_id
+        |  FROM m)
+        |SELECT image_id, w, h, bucket_id,
+        |       ${ImageOps.bucketDimCaseSql(ImageOps.DefaultAspectBuckets, "bucket_id", _._1)} AS bucket_w,
+        |       ${ImageOps.bucketDimCaseSql(ImageOps.DefaultAspectBuckets, "bucket_id", _._2)} AS bucket_h
+        |FROM a ORDER BY image_id""".stripMargin),
     // PII scrub: injected emails/phones (CASE-varied), Java-regex/RE2-common
     // pattern syntax; counts + scrubbed length + scrubbed md5 replayed.
     "td_pii" ->

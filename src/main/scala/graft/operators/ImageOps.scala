@@ -66,6 +66,90 @@ object ImageOps {
         .otherwise(lit(null).cast("string")))
   }
 
+  /** The canonical SDXL/NovelAI-style ~1 Mpx aspect-ratio bucket ladder
+    * (portrait -> square -> landscape). Any list of distinct-ratio (bw, bh)
+    * pairs works; this is the published default shape. */
+  val DefaultAspectBuckets: Seq[(Int, Int)] = Seq(
+    (512, 2048), (640, 1536), (768, 1344), (832, 1216), (896, 1152),
+    (1024, 1024),
+    (1152, 896), (1216, 832), (1344, 768), (1536, 640), (2048, 512))
+
+  /** Buckets sorted ascending by aspect ratio bw/bh — compared EXACTLY by
+    * cross-multiplication (bw1*bh2 < bw2*bh1), never by double division. */
+  def ratioSorted(buckets: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+    val s = buckets.sortWith { case ((aw, ah), (bw, bh)) =>
+      aw.toLong * bh < bw.toLong * ah }
+    s.sliding(2).foreach {
+      case Seq((aw, ah), (bw, bh)) =>
+        require(aw.toLong * bh != bw.toLong * ah,
+          s"duplicate aspect ratio in bucket list: ($aw,$ah) vs ($bw,$bh)")
+      case _ =>
+    }
+    s
+  }
+
+  /** Shared Spark/DuckDB CASE fragment assigning the NEAREST-in-log-aspect
+    * bucket index (0-based, over [[ratioSorted]] order) to a (w, h) row —
+    * entirely in 64-bit INTEGER arithmetic, so both engines replay it
+    * bit-exactly.
+    *
+    * Nearest in log space means minimizing |log(w/h) - log(bw/bh)|; the
+    * decision boundary between adjacent sorted buckets i, i+1 is the
+    * geometric mean of their ratios, and
+    *   r < sqrt(b_i * b_{i+1})  <=>  r^2 < b_i * b_{i+1}
+    *   <=>  w^2 * (bh_i * bh_{i+1}) < h^2 * (bw_i * bw_{i+1})
+    * — integer products only (w,h <= ~2^13, bucket dims <= 2^11: the chain
+    * peaks around 2^50, well inside BIGINT; the leading CAST promotes the
+    * whole left-associated product past INT overflow under ANSI mode).
+    * Tie rule: a row exactly ON a geometric midpoint takes the HIGHER
+    * (wider-aspect) bucket — the strict `<` falls through the WHEN.
+    */
+  def aspectBucketCaseSql(buckets: Seq[(Int, Int)], wCol: String = "w",
+                          hCol: String = "h"): String = {
+    val bs = ratioSorted(buckets)
+    if (bs.size == 1) return "CAST(0 AS INT)"
+    val whens = bs.sliding(2).zipWithIndex.collect {
+      case (Seq((bw1, bh1), (bw2, bh2)), i) =>
+        val bhp = bh1.toLong * bh2
+        val bwp = bw1.toLong * bw2
+        s"WHEN CAST($wCol AS BIGINT) * $wCol * $bhp < " +
+          s"CAST($hCol AS BIGINT) * $hCol * $bwp THEN $i"
+    }.mkString(" ")
+    s"CAST(CASE $whens ELSE ${bs.size - 1} END AS INT)"
+  }
+
+  /** Companion CASE fragment resolving a bucket index back to one of its
+    * target dimensions (shared verbatim by the oracle side). */
+  def bucketDimCaseSql(buckets: Seq[(Int, Int)], idxCol: String,
+                       dim: ((Int, Int)) => Int): String = {
+    val bs = ratioSorted(buckets)
+    val whens = bs.zipWithIndex
+      .map { case (b, i) => s"WHEN $i THEN ${dim(b)}" }.mkString(" ")
+    s"CAST(CASE $idxCol $whens END AS INT)"
+  }
+
+  /** SDXL-style aspect-ratio bucketing for image training batches: each row
+    * is assigned the bucket (target resize dims) whose aspect ratio is
+    * nearest in log space — the standard way a diffusion/VLM trainer groups
+    * a 10^12-image corpus into same-shaped batches without destructive
+    * square-cropping. Adds `bucket_id`, `bucket_w`, `bucket_h`.
+    *
+    * Scale posture: pure per-row integer CASE chains over the metadata
+    * columns — fully codegen'd, zero shuffle, rides the parquet scan (w/h
+    * pruned columns only); the downstream per-bucket grouping is the
+    * consumer's one shuffle. (Training-pipeline extension beyond the
+    * reference surface, same family as [[curationFilter]].)
+    */
+  def aspectBuckets(images: DataFrame,
+                    buckets: Seq[(Int, Int)] = DefaultAspectBuckets,
+                    wCol: String = "w", hCol: String = "h"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    images
+      .withColumn("bucket_id", expr(aspectBucketCaseSql(buckets, wCol, hCol)))
+      .withColumn("bucket_w", expr(bucketDimCaseSql(buckets, "bucket_id", _._1)))
+      .withColumn("bucket_h", expr(bucketDimCaseSql(buckets, "bucket_id", _._2)))
+  }
+
   /** Image near-duplicate PAIRS by perceptual hash: 4x16-bit banded Hamming
     * join over the `phash` column (TextOps.hammingPairs64) — the image-space
     * member of the dedup family next to text simhash. Recall is exact to

@@ -107,6 +107,54 @@ class ImageSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"curation gate must not shuffle:\n$plan")
   }
 
+  test("aspectBuckets: nearest-in-log-aspect assignment matches an exact rational brute force") {
+    import spark.implicits._
+    // independent oracle: dist(r, b) = max(r/b, b/r) held as a BigInt
+    // rational (p, q); argmin scanned ascending with ties -> later index
+    // (mirrors the CASE chain's strict-< fall-through)
+    def bruteBucket(w: Int, h: Int, bs: Seq[(Int, Int)]): Int = {
+      def dist(bw: Int, bh: Int): (BigInt, BigInt) = {
+        val x = BigInt(w) * bh; val y = BigInt(h) * bw
+        if (x >= y) (x, y) else (y, x)
+      }
+      var best = 0; var bd = dist(bs.head._1, bs.head._2)
+      for (i <- 1 until bs.size) {
+        val d = dist(bs(i)._1, bs(i)._2)
+        if (!(bd._1 * d._2 < d._1 * bd._2)) { best = i; bd = d } // d <= bd
+      }
+      best
+    }
+    val sorted = ImageOps.ratioSorted(ImageOps.DefaultAspectBuckets)
+    val sweep = for { w <- 1 to 64; h <- 1 to 64 } yield (w, h)
+    val got = ImageOps.aspectBuckets(
+        sweep.toDF("w", "h"), ImageOps.DefaultAspectBuckets)
+      .select("w", "h", "bucket_id", "bucket_w", "bucket_h")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    sweep.foreach { case (w, h) =>
+      val want = bruteBucket(w, h, sorted)
+      val (id, bw, bh) = got((w, h))
+      assert(id == want && (bw, bh) == sorted(want),
+        s"($w,$h): got bucket $id=($bw,$bh), brute force says $want=${sorted(want)}")
+    }
+    // a row exactly on the geometric midpoint takes the HIGHER bucket:
+    // buckets 1:2 and 2:1 have midpoint ratio 1 (product = 1), so any square
+    // image ties and must land in the later (2:1) bucket
+    val tie = ImageOps.aspectBuckets(
+        Seq((5, 5)).toDF("w", "h"), Seq((1, 2), (2, 1)))
+      .select("bucket_id", "bucket_w", "bucket_h").head()
+    assert((tie.getInt(0), tie.getInt(1), tie.getInt(2)) == ((1, 2, 1)))
+    // bucket-list order must not matter (ratioSorted canonicalizes)
+    val shuffled = scala.util.Random.shuffle(ImageOps.DefaultAspectBuckets.toList)
+    val got2 = ImageOps.aspectBuckets(Seq((640, 4096)).toDF("w", "h"), shuffled)
+      .select("bucket_w", "bucket_h").head()
+    assert((got2.getInt(0), got2.getInt(1)) == ((512, 2048)))
+    // plan shape: assignment is pure per-row integer CASE chains — no Exchange
+    val plan = ImageOps.aspectBuckets(sweep.toDF("w", "h"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket assignment must not shuffle:\n$plan")
+  }
+
   test("images generator is deterministic (same seed, same bytes)") {
     val a = Fixtures.imageRow(42L)
     val b = Fixtures.imageRow(42L)

@@ -278,6 +278,19 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // -- per-bucket training batch assignment (distributed two-stage rank) --
+    "mm_bucket_batches" -> ((s, d) => {
+      // deterministic within-bucket epoch shuffle (splitmix64 order) cut
+      // into 32-row batches, trailing partial batch NULL (drop_last); the
+      // oracle replays the rank as a window over the sign-bridged hash
+      val meta = t(s, d, "documents").select(
+        col("doc_id").as("image_id"),
+        (lit(16) + (col("doc_id") * 7919) % 4096).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 104729) % 4096).cast("int").as("h"))
+      ImageOps.bucketBatches(meta, batchSize = 32)
+        .orderBy("image_id")
+    }),
+
     // -- image near-dup by perceptual hash (input_hint phash:int64 column) --
     "mm_phash_neardup" -> ((s, d) => {
       // deterministic splitmix64 phashes + injected Hamming-2 clones; the
@@ -955,6 +968,33 @@ object SparkEntry {
         |       ${ImageOps.bucketDimCaseSql(ImageOps.DefaultAspectBuckets, "bucket_id", _._1)} AS bucket_w,
         |       ${ImageOps.bucketDimCaseSql(ImageOps.DefaultAspectBuckets, "bucket_id", _._2)} AS bucket_h
         |FROM a ORDER BY image_id""".stripMargin),
+    // per-bucket batch assignment: bucket CASE chain shared verbatim; the
+    // within-bucket order is the sign-bridged splitmix64 rank (the
+    // td_sample_stratified replay), batch cut by integral division.
+    "mm_bucket_batches" -> {
+      import Fixtures.U64Sql._
+      val (smCtes, smOut) = sm64Ctes("src", Seq("image_id", "bucket_id"))
+      s"""WITH m AS (
+        |  SELECT doc_id AS image_id,
+        |         CAST(16 + (doc_id * 7919) % 4096 AS INT) AS w,
+        |         CAST(16 + (doc_id * 104729) % 4096 AS INT) AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT image_id,
+        |         ${ImageOps.aspectBucketCaseSql(ImageOps.DefaultAspectBuckets)} AS bucket_id
+        |  FROM m),
+        |src AS (SELECT image_id, bucket_id, CAST(image_id AS HUGEINT) AS z FROM a),
+        |$smCtes,
+        |sgn AS (SELECT image_id, bucket_id, ${u2s("h")} AS hs FROM $smOut),
+        |r AS (
+        |  SELECT image_id, bucket_id,
+        |         CAST(row_number() OVER (PARTITION BY bucket_id ORDER BY hs, image_id) AS BIGINT) - 1 AS bk_rank,
+        |         count(*) OVER (PARTITION BY bucket_id) AS nb
+        |  FROM sgn)
+        |SELECT image_id, bucket_id, bk_rank,
+        |       CASE WHEN bk_rank < (nb // 32) * 32 THEN bk_rank // 32 END AS batch_id
+        |FROM r ORDER BY image_id""".stripMargin
+    },
     // PII scrub: injected emails/phones (CASE-varied), Java-regex/RE2-common
     // pattern syntax; counts + scrubbed length + scrubbed md5 replayed.
     "td_pii" ->

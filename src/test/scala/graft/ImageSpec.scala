@@ -155,6 +155,45 @@ class ImageSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"bucket assignment must not shuffle:\n$plan")
   }
 
+  test("bucketBatches: distributed per-bucket rank equals the sequential assignment, any partitioning") {
+    import spark.implicits._
+    val B = 16
+    val rows = (0L until 1000L).map { i =>
+      (i, (16 + (i * 7919) % 4096).toInt, (16 + (i * 104729) % 4096).toInt) }
+    // sequential oracle: bucket from the (already brute-forced) assignment
+    // op; within each bucket sort by (signed splitmix64(id), id), rank 0..,
+    // cut into B-row batches, trailing partial -> null
+    val bucketOf = ImageOps.aspectBuckets(rows.toDF("image_id", "w", "h"))
+      .select("image_id", "bucket_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected: Map[Long, (Int, Long, Option[Long])] =
+      bucketOf.groupBy(_._2).flatMap { case (b, m) =>
+        val order = m.keys.toSeq.sortBy(id => (Fixtures.splitmix64(id), id))
+        val nFull = (order.size / B) * B
+        order.zipWithIndex.map { case (id, r) =>
+          id -> ((b, r.toLong, if (r < nFull) Some(r.toLong / B) else None))
+        }
+      }
+    for (parts <- Seq(1, 7, 64)) {
+      val got = ImageOps.bucketBatches(
+          rows.toDF("image_id", "w", "h").repartition(parts), batchSize = B)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(got == expected, s"mismatch at input partitions=$parts")
+    }
+    // plan shape: above the persisted range partition there must be no
+    // further Exchange — the per-bucket rank is NOT a Window over |buckets|
+    // keys (the 11-task funnel) but sortWithinPartitions + mapPartitions
+    val bb = ImageOps.bucketBatches(rows.toDF("image_id", "w", "h"), batchSize = B)
+    bb.count()
+    val planStr = bb.queryExecution.executedPlan.toString
+    val aboveCache = planStr.split("InMemoryTableScan").head
+    assert(aboveCache.contains("MapPartitions"), planStr.take(1200))
+    assert(!aboveCache.contains("Exchange"),
+      s"bucketBatches above the cached range partition must not shuffle:\n${planStr.take(1200)}")
+  }
+
   test("images generator is deterministic (same seed, same bytes)") {
     val a = Fixtures.imageRow(42L)
     val b = Fixtures.imageRow(42L)

@@ -94,4 +94,31 @@ class PipelineSpec extends SparkSuite {
     assert(again.forall(_.reused) &&
       again.map(r => r.table -> r.rows) == reports.map(r => r.table -> r.rows))
   }
+
+  test("image batch-prep pipeline: gate -> bucket batch plan commits, resumes, full batches only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-batchprep").toString
+    val reports = Pipeline.runBatchPrep(spark, root, 300L, batchSize = 8)
+    assert(reports.map(_.table) == Seq("img_gate", "img_batches"))
+    assert(reports.forall(r => !r.reused && r.rows > 0))
+    // the gate really drops: fixture dims cycle (64,64)/(128,96)/(256,256)
+    // by i%3, so minDim=96 removes exactly a third (the (64,64) rows)
+    assert(reports.find(_.table == "img_gate").get.rows == 200)
+    val snap = Snapshots.latestFor(root, "img_batches").get
+    val plan = spark.read.parquet(snap.dataPath)
+    assert(plan.count() == 200)
+    assert(reports.find(_.table == "img_batches").get.lineage == Seq("img_gate"))
+    // drop_last discipline: every assigned batch has EXACTLY batchSize rows
+    val sizes = plan.where(col("batch_id").isNotNull)
+      .groupBy("bucket_id", "batch_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(sizes == Set(8L), s"batch sizes: $sizes")
+    // unassigned tail per bucket is < batchSize
+    val tails = plan.where(col("batch_id").isNull)
+      .groupBy("bucket_id").count().collect().map(_.getLong(1))
+    assert(tails.forall(_ < 8))
+    // re-entry resumes both stages with identical rows
+    val again = Pipeline.runBatchPrep(spark, root, 300L, batchSize = 8)
+    assert(again.forall(_.reused) &&
+      again.map(r => r.table -> r.rows) == reports.map(r => r.table -> r.rows))
+  }
 }

@@ -86,6 +86,34 @@ object ScalePathRunner {
       assert(maxc == (toks - 1) / 8192, s"last chunk $maxc vs ${(toks - 1) / 8192}")
     }
 
+    if (which == "batchprep") {
+      // SDXL batch plan at 100M rows: the per-bucket dense rank is the
+      // packPlan distributed-rank shape — driver state is O(partitions x
+      // buckets) longs (352 here); a Window.partitionBy(bucket_id) would
+      // funnel all 100M rows through 11 tasks. Invariants asserted from ONE
+      // aggregate over the output: per bucket the rank is dense (max ==
+      // count-1) and the unassigned tail is exactly count mod batchSize.
+      val n = 100000000L
+      val df = spark.range(n).select(col("id").as("img_no"),
+        (lit(16) + (col("id") * 7919) % 4096).cast("int").as("w"),
+        (lit(16) + (col("id") * 104729) % 4096).cast("int").as("h"))
+      val B = 1024
+      val t0 = System.nanoTime()
+      val out = graft.operators.ImageOps.bucketBatches(df, B, idCol = "img_no")
+      val per = out.groupBy("bucket_id").agg(
+        count(lit(1)).as("nb"), max(col("bk_rank")).as("maxr"),
+        sum(when(col("batch_id").isNull, 1L).otherwise(0L)).as("tail")).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = per.map(_.getLong(1)).sum
+      println(f"RESULT batchprep rows=$rows buckets=${per.length} sec=$sec%.1f")
+      assert(rows == n, s"row count $rows")
+      per.foreach { r =>
+        val (nb, maxr, tail) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(maxr == nb - 1, s"dense rank broken: max rank $maxr of $nb")
+        assert(tail == nb % B, s"drop_last tail $tail vs ${nb % B}")
+      }
+    }
+
     if (which == "both" || which == "cc") {
       // 100 chains of 50k vertices with ids SCRAMBLED along the chain by an
       // arithmetic permutation (pos -> pos*48271 mod 50000, coprime stride),

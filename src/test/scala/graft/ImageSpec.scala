@@ -107,23 +107,24 @@ class ImageSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"curation gate must not shuffle:\n$plan")
   }
 
+  // independent oracle for the bucket CASE chain: dist(r, b) = max(r/b, b/r)
+  // held as a BigInt rational (p, q); argmin scanned ascending with ties ->
+  // later index (mirrors the chain's strict-< fall-through)
+  private def bruteBucket(w: Int, h: Int, bs: Seq[(Int, Int)]): Int = {
+    def dist(bw: Int, bh: Int): (BigInt, BigInt) = {
+      val x = BigInt(w) * bh; val y = BigInt(h) * bw
+      if (x >= y) (x, y) else (y, x)
+    }
+    var best = 0; var bd = dist(bs.head._1, bs.head._2)
+    for (i <- 1 until bs.size) {
+      val d = dist(bs(i)._1, bs(i)._2)
+      if (!(bd._1 * d._2 < d._1 * bd._2)) { best = i; bd = d } // d <= bd
+    }
+    best
+  }
+
   test("aspectBuckets: nearest-in-log-aspect assignment matches an exact rational brute force") {
     import spark.implicits._
-    // independent oracle: dist(r, b) = max(r/b, b/r) held as a BigInt
-    // rational (p, q); argmin scanned ascending with ties -> later index
-    // (mirrors the CASE chain's strict-< fall-through)
-    def bruteBucket(w: Int, h: Int, bs: Seq[(Int, Int)]): Int = {
-      def dist(bw: Int, bh: Int): (BigInt, BigInt) = {
-        val x = BigInt(w) * bh; val y = BigInt(h) * bw
-        if (x >= y) (x, y) else (y, x)
-      }
-      var best = 0; var bd = dist(bs.head._1, bs.head._2)
-      for (i <- 1 until bs.size) {
-        val d = dist(bs(i)._1, bs(i)._2)
-        if (!(bd._1 * d._2 < d._1 * bd._2)) { best = i; bd = d } // d <= bd
-      }
-      best
-    }
     val sorted = ImageOps.ratioSorted(ImageOps.DefaultAspectBuckets)
     val sweep = for { w <- 1 to 64; h <- 1 to 64 } yield (w, h)
     val got = ImageOps.aspectBuckets(
@@ -153,6 +154,35 @@ class ImageSpec extends SparkSuite {
     val plan = ImageOps.aspectBuckets(sweep.toDF("w", "h"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucket assignment must not shuffle:\n$plan")
+  }
+
+  test("aspectBucketCaseSql property: random bucket ladders match the exact rational brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val sweep = for { w <- 1 to 32; h <- 1 to 32 } yield (w, h)
+    val sweepDf = sweep.toDF("w", "h")
+    var trials = 0
+    while (trials < 20) {
+      val nb = 2 + rnd.nextInt(9)
+      val cand = Seq.fill(nb * 3)((1 + rnd.nextInt(2048), 1 + rnd.nextInt(2048)))
+      // keep only distinct ratios (exact cross-multiplied comparison)
+      val buckets = cand.foldLeft(Vector.empty[(Int, Int)]) { (acc, b) =>
+        if (acc.exists(a => a._1.toLong * b._2 == b._1.toLong * a._2)) acc
+        else acc :+ b
+      }.take(nb)
+      if (buckets.size >= 2) {
+        trials += 1
+        val sorted = ImageOps.ratioSorted(buckets)
+        val got = ImageOps.aspectBuckets(sweepDf, buckets)
+          .select("w", "h", "bucket_id").collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+        sweep.foreach { case (w, h) =>
+          val want = bruteBucket(w, h, sorted)
+          assert(got((w, h)) == want,
+            s"ladder $sorted, ($w,$h): chain says ${got((w, h))}, brute force $want")
+        }
+      }
+    }
   }
 
   test("bucketBatches: distributed per-bucket rank equals the sequential assignment, any partitioning") {

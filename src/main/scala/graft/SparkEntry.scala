@@ -93,7 +93,12 @@ object SparkEntry {
           col("lng") >= col("lng_lo") && col("lng") < col("lng_hi"))
         .select(col("point_id"), col("rect_id")).orderBy("point_id", "rect_id")
     }),
-    "sj_knn" -> ((s, d) => SpatialJoins.knnJoin(Fixtures.points(s, d), Fixtures.sites(s), 3)
+    // level 14 (~1.2 km cells): the old default level 10 (~19.6 km cells) made
+    // every site's ring-1 disk cover the whole fixture region (~500k candidate
+    // rows through the per-site window); at 14 the disks stay local (~8x fewer
+    // candidates) and ring 1 still settles k=3 at this density. Results are
+    // level-invariant (ring guarantee exact at any level; oracle-gated).
+    "sj_knn" -> ((s, d) => SpatialJoins.knnJoin(Fixtures.points(s, d), Fixtures.sites(s), 3, level = 14)
       .select(col("site_id"), col("rank").cast("long").as("rank"), col("point_id"))
       .orderBy("site_id", "rank")),
     "sj_tile" -> ((s, d) => SpatialJoins.tileAssignment(Fixtures.points(s, d), 14)
@@ -339,7 +344,7 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.cosineLsh(e, q, 5, bits = 5, tables = 16)
+      Ann.cosineLsh(e, q, 5, bits = 5, tables = 16, dimHint = Some(64))
         .select(col("qid"), col("rank").cast("long").as("rank"), col("neighbor_id"))
         .orderBy("qid", "rank")
     }),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -56,30 +55,54 @@ object Aggs {
    * count, total = sum of c.
    */
   private[graft] def rankedCounts(counts: DataFrame, order: Seq[Column],
-                                  numParts: Int = 32): DataFrame = {
+                                  numParts: Int = 0): DataFrame = {
     val spark = counts.sparkSession
-    import spark.implicits._
-    val parts = counts.repartitionByRange(numParts, order: _*)
+    // scale-adaptive partition count (guide §2.2): default to the session's
+    // shuffle parallelism instead of a constant
+    val np = if (numParts > 0) numParts
+      else math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val parts = counts.repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
       .transform(org.apache.spark.sql.graft.PersistOnce(_))
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
-    val local = parts
-      .withColumn("__lr", row_number().over(w).cast("long"))
-      .withColumn("__lcum", sum(col("c")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val perPart = parts.groupBy("__pid")
       .agg(count(lit(1)).as("nd"), sum(col("c")).as("nc"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     var dOff = 0L; var cOff = 0L
-    val offs = perPart.toSeq.map { case (pid, nd, nc) =>
-      val o = (pid, dOff, cOff); dOff += nd; cOff += nc; o
-    }
-    val offDf = offs.toDF("__pid", "__doff", "__coff")
-    local.join(broadcast(offDf), "__pid")
-      .select(col("v"), col("c"),
-        (col("__lr") - 1L + col("__doff")).as("r"),
-        (col("__lcum") - col("c") + col("__coff")).as("cum_before"),
-        lit(dOff).as("d"), lit(cOff).as("total"))
+    val offs = perPart.map { case (pid, nd, nc) =>
+      val o = pid -> (dOff, cOff); dOff += nd; cOff += nc; o
+    }.toMap
+    val offB = spark.sparkContext.broadcast(offs)
+    // per-partition rank + running count in ONE partition-local ordered pass:
+    // a Window.partitionBy(__pid) here would re-Exchange the whole table to
+    // hashpartitioning(__pid) on top of the range shuffle (plan-probed — the
+    // CLAUDE.md trap), and the per-partition offsets would need one more
+    // broadcast join. sortWithinPartitions + mapPartitions keeps the range
+    // partitioning, adds ZERO shuffle, and folds the offsets in directly.
+    val vIdx = parts.schema.fieldIndex("v")
+    val cIdx = parts.schema.fieldIndex("c")
+    val pIdx = parts.schema.fieldIndex("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      parts.schema(vIdx), parts.schema(cIdx),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_before",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val dTot = dOff; val cTot = cOff
+    parts.sortWithinPartitions(order: _*)
+      .mapPartitions { it =>
+        var r = 0L; var cum = 0L; var init = false
+        it.map { row =>
+          if (!init) {
+            val (doff, coff) = offB.value.getOrElse(row.getInt(pIdx), (0L, 0L))
+            r = doff; cum = coff; init = true
+          }
+          val c = row.getLong(cIdx)
+          val out = org.apache.spark.sql.Row(row.get(vIdx), c, r, cum)
+          r += 1; cum += c
+          out
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .withColumn("d", lit(dTot)).withColumn("total", lit(cTot))
   }
 
   /**

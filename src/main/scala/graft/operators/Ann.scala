@@ -379,9 +379,13 @@ object Ann {
   def cosineLsh(data: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
                 tables: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+                qidCol: String = "qid", qvecCol: String = "qvec",
+                dimHint: Option[Int] = None): DataFrame = {
     val spark = data.sparkSession
-    val dim = data.select(size(col(vecCol))).head.getInt(0)
+    // dim from the caller's schema knowledge when available — skips a
+    // head() job (a full extra scan at corpus scale), same contract as
+    // cosineNearDupPairs
+    val dim = dimHint.getOrElse(data.select(size(col(vecCol))).head.getInt(0))
     val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
     val buckets = udf { (vec: Seq[Float]) =>
       val pl = bp.value

@@ -465,8 +465,15 @@ object Graph {
    * like the reference's threshold behavior.
    */
   def connectToNetwork(features: DataFrame, nodes: DataFrame, edges: DataFrame,
-                       maxMeters: Double, level: Int = 12): DataFrame = {
+                       maxMeters: Double, level: Int = 0): DataFrame = {
     graft.functions.CellExprs.install(features.sparkSession)
+    // grid level derived from the cap radius (guide §2.3 — shuffle/scan fewer
+    // bytes): the finest level whose cell still spans >= maxMeters, so the
+    // ring-1 disk both guarantees the cap AND stays as tight as possible.
+    // The old fixed level 12 (~4.9 km cells) over-covered an 800 m cap ~16x
+    // in candidate area; results are level-invariant (the ring guarantee is
+    // exact at any level — SpatialJoinsSpec).
+    val lvl = if (level > 0) level else SpatialJoins.levelForRadius(maxMeters)
     // the network-node table is the big side of the kNN; the features being
     // connected are the (small) query side
     val big = nodes.select(col("node_id").as("point_id"), col("lat"), col("lng"))
@@ -477,7 +484,7 @@ object Graph {
     // the distance cap flows INTO the ring loop: sites provably farther than
     // maxMeters from every node settle on the first qualifying ring instead
     // of hunting their true nearest across a doubling disk
-    val nearest = SpatialJoins.knnJoin(big, small, k = 1, level = level,
+    val nearest = SpatialJoins.knnJoin(big, small, k = 1, level = lvl,
         maxDistance = Some(maxMeters))
       .where(col("__dist") <= maxMeters)
     val accessEdges = nearest.select(

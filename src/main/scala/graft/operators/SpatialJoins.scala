@@ -111,15 +111,24 @@ object SpatialJoins {
     // rows on the heap) is fastest; above it, million-site callers
     // (connect-to-network-all over a metro, graph/connectivity.go:39-199)
     // must keep sites distributed — the driver holds only per-ring counts.
-    val small = sites.limit(distributedThreshold + 1).count() <= distributedThreshold
-    if (small) knnJoinDriver(points, sites, k, level, pointCell, siteLat, siteLng, maxDistance)
+    // ONE job decides the mode AND seeds driver mode: collect up to
+    // threshold+1 site rows — when the table is small (the common driver-mode
+    // case) these rows ARE the active set, so the old separate
+    // `limit(n+1).count()` probe job (a full second scan of the site-side
+    // derivation) is folded away; the distributed path re-derives from the
+    // DataFrame as before.
+    val headRows = sites.limit(distributedThreshold + 1).collect()
+    if (headRows.length <= distributedThreshold)
+      knnJoinDriver(points, sites, k, level, pointCell, siteLat, siteLng, maxDistance,
+        preCollected = Some(headRows))
     else knnJoinDistributed(points, sites, k, level, pointCell, siteLat, siteLng, maxDistance)
   }
 
   private def knnJoinDriver(points: DataFrame, sites: DataFrame, k: Int, level: Int,
               pointCell: String,
               siteLat: String, siteLng: String,
-              maxDistance: Option[Double]): DataFrame = {
+              maxDistance: Option[Double],
+              preCollected: Option[Array[org.apache.spark.sql.Row]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = points.sparkSession
     graft.functions.CellExprs.install(spark)
@@ -141,7 +150,7 @@ object SpatialJoins {
     // lists, no per-ring rewrite of the accumulated set, no separate
     // guarantee job.
     val siteSchema = sites.schema
-    var active: Array[org.apache.spark.sql.Row] = sites.collect()
+    var active: Array[org.apache.spark.sql.Row] = preCollected.getOrElse(sites.collect())
     // result schema of the loop below (points + site cols + __dist + rank,
     // join keys dropped), derivable without running a job — covers the
     // zero-sites case where the loop never executes
@@ -351,6 +360,20 @@ object SpatialJoins {
     * range (CoverCellUnionWithTiles semantics, tiles.go:284-300). */
   def tileCoverJoin(polygons: DataFrame, zoom: Int, geomCol: String = "geom"): DataFrame =
     polygons.withColumn("tile", explode(tile_cover(col(geomCol), lit(zoom))))
+
+  /** The finest cell level whose latitudinal cell span still covers
+    * `radiusMeters` — callers with a distance cap pick this so the kNN ring-1
+    * disk is as tight as possible while still settling on the first ring
+    * (cell span >= radius => ring*minDim >= radius holds at ring 1 for the
+    * latitudinal bound; results stay exact at ANY level, only candidate
+    * volume changes). Clamped to [4, 16]. */
+  def levelForRadius(radiusMeters: Double): Int = {
+    val mPerDegLat = math.Pi * GeoOps.EarthRadiusMeters / 180.0
+    var lvl = 4
+    while (lvl < 16 && 180.0 / (1L << (lvl + 1)).toDouble * mPerDegLat >= radiusMeters)
+      lvl += 1
+    lvl
+  }
 
   /** Cap (centre+radius) containment — IntersectsCap for points
     * (src/diagonal.works/b6/spatial.go:203-371). */

@@ -218,6 +218,11 @@ object TextOps {
                                       maxBucketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(keyCols.map(col): _*)
+    // NOT persisted (measured): caching here pins the pre-AQE 32-partition
+    // layout into every downstream branch and costs more than the branch
+    // recompute it saves — AQE's runtime exchange reuse + coalescing handle
+    // the shared window input better (td_minhash_pairs 0.55 s -> 1.16 s when
+    // a persist was tried in r6)
     val sized = banded.withColumn("__bn", count(lit(1)).over(wb))
     val small = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
     val big = sized.where(col("__bn") > maxBucketSize)
@@ -516,6 +521,11 @@ object TextOps {
       .withColumn("__pos", row_number().over(wDoc))
       .where(col("__pos") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
       .select("__id", "sh", "__sz")
+      // the self-join below reads `prefix` twice; without the persist the
+      // whole posting pipeline (explode + df-count shuffle join + window)
+      // recomputes per branch (plan-probed in the r6 baseline). Postings are
+      // (id, hash, size) — ids-only, MEMORY_AND_DISK.
+      .transform(org.apache.spark.sql.graft.PersistOnce(_))
     // size filter (AllPairs length bound): J(A,B) >= t requires
     // t * max(|A|,|B|) <= min(|A|,|B|); the +1 slack keeps borderline pairs
     // whose real t*max == min from being lost to double rounding — the exact

@@ -412,7 +412,10 @@ object SparkEntry {
       import s.implicits._
       val (_, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
       val origins = Seq(0L, 71L, 143L).toDF("origin")
-      graft.operators.Graph.reachable(edges, origins, 1200.0)
+      // edge count is known driver-side (local grid) — the hint skips the
+      // broadcast-vs-iterative count() job per call
+      graft.operators.Graph.reachable(edges, origins, 1200.0,
+          edgeCountHint = Some(gridEdgeCount))
         .select(col("origin"), col("node"), round(col("dist_m"), 3).as("dist_m"))
         .orderBy("origin", "node")
     }),
@@ -435,7 +438,8 @@ object SparkEntry {
       import s.implicits._
       val (nodes, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
       val od = graft.operators.Graph.reachable(
-        edges, Seq(0L, 143L).toDF("origin"), 700.0).select("origin", "node")
+        edges, Seq(0L, 143L).toDF("origin"), 700.0,
+        edgeCountHint = Some(gridEdgeCount)).select("origin", "node")
       val survivors = nodes.where(col("node_id") >= 100).select("node_id")
       graft.operators.Graph.filterAccessible(od, survivors)
         .orderBy("origin", "node")
@@ -445,7 +449,8 @@ object SparkEntry {
       import s.implicits._
       val (nodes, edges) = graft.operators.Graph.syntheticGrid(s, gridN)
       val od = graft.operators.Graph.reachable(
-        edges, Seq(0L, 71L, 143L).toDF("origin"), 700.0).select("origin", "node")
+        edges, Seq(0L, 71L, 143L).toDF("origin"), 700.0,
+        edgeCountHint = Some(gridEdgeCount)).select("origin", "node")
       val survivors = nodes.where(col("node_id") >= 100).select("node_id")
       Aggs.odHistogram(graft.operators.Graph.filterAccessible(od, survivors))
         .orderBy("n_valid")
@@ -784,6 +789,10 @@ object SparkEntry {
 
   /** Shared street-grid size for the gr_* queries and their oracles. */
   private val gridN = 12
+
+  /** Undirected edge count of the synthetic grid, known driver-side. */
+  private lazy val gridEdgeCount: Long =
+    graft.operators.Graph.syntheticGridRows(gridN)._2.length.toLong * 2
 
   /** Closed-ring edges of the convex fixture polygons — the sl_rays occluder
     * segments, shared verbatim with the oracle's VALUES literals. */

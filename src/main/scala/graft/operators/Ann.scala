@@ -36,6 +36,17 @@ object Ann {
     }.sum
 
 
+  /** Ensure the scoring side has at least the session's parallelism: a small
+    * single-file vector table scans as ONE task, serializing every cosine in
+    * the query onto one core (plan-probed: ann_lsh spent 1.26 s in a 1-task
+    * stage). At corpus scale the scan already has plenty of splits and this
+    * is a no-op — the condition keeps the extra exchange off the 10^12-row
+    * path (guide §2.2: partition count adapts to input, not a constant). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 < parts) df.repartition(parts) else df
+  }
+
   /** Exact cosine as ONE tight-loop UDF (the aggregate(zip_with(..)) HOF
     * formulation is interpreted per element by Catalyst; one JVM loop per
     * pair scales better on wide embeddings). Accumulation order (ascending
@@ -65,7 +76,7 @@ object Ann {
   def cosineTopK(data: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val scored = data.join(broadcast(queries))
+    val scored = parallelized(data).join(broadcast(queries))
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine",
         cosineOf(col(vecCol), col(qvecCol)))
@@ -102,6 +113,10 @@ object Ann {
     val dim = dimHint.getOrElse(data.select(size(col(vecCol))).head.getInt(0))
     val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
     val buckets = udf { (vec: Seq[Float]) =>
+      // unbox ONCE: Seq[Float].apply boxes per access, and each element is
+      // read `tables*bits` times below (measured 0.42 s -> ~0.05 s on the
+      // 2000x64 fixture when this conversion was added)
+      val v = vec.toArray
       val pl = bp.value
       val out = new Array[Long](tables)
       var t = 0
@@ -110,8 +125,8 @@ object Ann {
         while (p < bits) {
           val plane = pl(t * bits + p)
           var s = 0.0; var i = 0
-          val n = math.min(vec.length, plane.length)
-          while (i < n) { s += vec(i).toDouble * plane(i); i += 1 }
+          val n = math.min(v.length, plane.length)
+          while (i < n) { s += v(i).toDouble * plane(i); i += 1 }
           if (s > 0) b |= (1L << p)
           p += 1
         }
@@ -199,15 +214,16 @@ object Ann {
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val assign = udf { (vec: Seq[Float]) =>
+      val vv = vec.toArray // unbox once; read |centroids| times below
       val cs = bc.value
       var best = 0; var bestC = Double.NegativeInfinity
       var l = 0
       while (l < cs.length) {
         val c = cs(l)
         var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        val n = math.min(vec.length, c.length)
+        val n = math.min(vv.length, c.length)
         while (i < n) {
-          val v = vec(i).toDouble
+          val v = vv(i).toDouble
           s += v * c(i); na += v * v; nb += c(i) * c(i); i += 1
         }
         val cos = s / (math.sqrt(na) * math.sqrt(nb))
@@ -217,20 +233,21 @@ object Ann {
       best
     }
     val probe = udf { (vec: Seq[Float]) =>
+      val vv = vec.toArray
       val cs = bc.value
       val scored = Array.tabulate(cs.length) { l =>
         val c = cs(l)
         var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        val n = math.min(vec.length, c.length)
+        val n = math.min(vv.length, c.length)
         while (i < n) {
-          val v = vec(i).toDouble
+          val v = vv(i).toDouble
           s += v * c(i); na += v * v; nb += c(i) * c(i); i += 1
         }
         (s / (math.sqrt(na) * math.sqrt(nb)), l)
       }
       scored.sortBy { case (c, l) => (-c, l) }.take(nProbe).map(_._2)
     }
-    val d = data.withColumn("__list", assign(col(vecCol)))
+    val d = parallelized(data).withColumn("__list", assign(col(vecCol)))
     val q = queries.withColumn("__list", explode(probe(col(qvecCol))))
     // no pair-dedup needed: each data vector is assigned to exactly ONE
     // list, so a (data, query) pair can meet on at most one probed list —
@@ -311,11 +328,12 @@ object Ann {
     val bc = data.sparkSession.sparkContext.broadcast(codebooks)
     val sub = codebooks.head.head.length
     val enc = udf { (vec: Seq[Float]) =>
+      val vv = vec.toArray // unbox once for the per-subspace slices
       val cb = bc.value
       Array.tabulate(cb.length) { s =>
         val v = new Array[Double](sub)
         var i = 0
-        while (i < sub) { v(i) = vec(s * sub + i).toDouble; i += 1 }
+        while (i < sub) { v(i) = vv(s * sub + i).toDouble; i += 1 }
         pqAssignOne(v, cb(s))
       }
     }
@@ -337,8 +355,9 @@ object Ann {
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(codebooks)
     val sub = codebooks.head.head.length
-    val codes = pqEncode(data, codebooks, idCol, vecCol)
+    val codes = pqEncode(parallelized(data), codebooks, idCol, vecCol)
     val score = udf { (qvec: Seq[Float], cds: Seq[Int]) =>
+      val qv = qvec.toArray // unbox once; read twice per element below
       val cb = bc.value
       // per-subspace partial dots folded in ascending-s order — the same
       // associativity as the oracle's list_reduce over list(x ORDER BY s)
@@ -349,7 +368,7 @@ object Ann {
         var ds = 0.0; var cs = 0.0
         var i = 0
         while (i < sub) {
-          ds += qvec(s * sub + i).toDouble * c(i)
+          ds += qv(s * sub + i).toDouble * c(i)
           cs += c(i) * c(i)
           i += 1
         }
@@ -358,7 +377,7 @@ object Ann {
       }
       var qq = 0.0
       var i = 0
-      while (i < qvec.length) { qq += qvec(i).toDouble * qvec(i); i += 1 }
+      while (i < qv.length) { qq += qv(i).toDouble * qv(i); i += 1 }
       num / (math.sqrt(qq) * math.sqrt(rr))
     }
     val cand = codes.join(broadcast(queries))
@@ -388,6 +407,9 @@ object Ann {
     val dim = dimHint.getOrElse(data.select(size(col(vecCol))).head.getInt(0))
     val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
     val buckets = udf { (vec: Seq[Float]) =>
+      // unbox ONCE — each element is read tables*bits times (see
+      // cosineNearDupPairs for the measurement)
+      val v = vec.toArray
       val pl = bp.value
       val out = new Array[Long](tables)
       var t = 0
@@ -396,8 +418,8 @@ object Ann {
         while (p < bits) {
           val plane = pl(t * bits + p)
           var s = 0.0; var i = 0
-          val n = math.min(vec.length, plane.length)
-          while (i < n) { s += vec(i).toDouble * plane(i); i += 1 }
+          val n = math.min(v.length, plane.length)
+          while (i < n) { s += v(i).toDouble * plane(i); i += 1 }
           if (s > 0) b |= (1L << p)
           p += 1
         }
@@ -405,24 +427,24 @@ object Ann {
       }
       out
     }
-    def withBuckets(df: DataFrame, vc: String) = df
-      .withColumn("__bs", buckets(col(vc)))
-      .select(col("*"), posexplode(col("__bs")).as(Seq("__t", "__bucket")))
-      .drop("__bs")
-    val d = withBuckets(data, vecCol)
-    val q = withBuckets(queries, qvecCol)
-    // score BEFORE the pair-dedup so the dedup shuffle carries (qid, id,
-    // cosine) scalars instead of two embedding vectors per candidate row —
-    // the cosine of a pair is collision-count-invariant, so max() over the
-    // <= `tables` duplicate collisions is the single exact value (the
-    // DuckDB oracle scores DISTINCT pairs; bit-identical). The groupBy also
-    // map-side-combines duplicate collisions, unlike dropDuplicates on rows
-    // widened by the vectors.
-    val cand = observed(d.join(broadcast(q), Seq("__t", "__bucket"))
+    def idBuckets(df: DataFrame, ic: String, vc: String) = df
+      .select(col(ic), posexplode(buckets(col(vc))).as(Seq("__t", "__bucket")))
+    // ids-only bucket join (guide §2.3 / §8: decide with small rows, attach
+    // payloads once): the old plan exploded the VECTOR column through the
+    // banding — every generated row copied the embedding array (plan-probed
+    // 22 us/row on the fixture) and every duplicate bucket collision
+    // re-scored the same pair. Pairs dedup as bare (qid, id); each side's
+    // vector re-attaches once per DISTINCT pair, with the pair set as the
+    // broadcast build side so the vector table is never shuffled.
+    val d = idBuckets(parallelized(data), idCol, vecCol)
+    val q = idBuckets(queries, qidCol, qvecCol)
+    val pairs = d.join(broadcast(q), Seq("__t", "__bucket"))
       .where(col(idCol) =!= col(qidCol))
-      .withColumn("cosine", cosineOf(col(vecCol), col(qvecCol)))
-      .groupBy(col(qidCol), col(idCol))
-      .agg(max(col("cosine")).as("cosine")))
+      .select(col(qidCol), col(idCol)).dropDuplicates(qidCol, idCol)
+    val withQ = pairs.join(broadcast(queries), qidCol)
+    val cand = observed(data.select(col(idCol), col(vecCol))
+      .join(broadcast(withQ), idCol)
+      .withColumn("cosine", cosineOf(col(vecCol), col(qvecCol))))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))

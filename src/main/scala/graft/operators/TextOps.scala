@@ -218,12 +218,15 @@ object TextOps {
                                       maxBucketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(keyCols.map(col): _*)
-    // NOT persisted (measured): caching here pins the pre-AQE 32-partition
-    // layout into every downstream branch and costs more than the branch
-    // recompute it saves — AQE's runtime exchange reuse + coalescing handle
-    // the shared window input better (td_minhash_pairs 0.55 s -> 1.16 s when
-    // a persist was tried in r6)
+    // lazily checkpointed: the small/big split and both join branches below
+    // otherwise recompute the banding + window up to four times (plan-probed
+    // in r6 — four ~equal AQE stage jobs per call, no cross-branch exchange
+    // reuse). localCheckpoint truncates the lineage so all four branches read
+    // the materialized (ids-only) blocks, keeps the AQE-coalesced
+    // partitioning, and — unlike persist, which pinned the pre-AQE layout and
+    // measured SLOWER — is freed by the ContextCleaner when unreferenced.
     val sized = banded.withColumn("__bn", count(lit(1)).over(wb))
+      .localCheckpoint(eager = false)
     val small = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
     val big = sized.where(col("__bn") > maxBucketSize)
     val smallPairs = small.as("a").join(small.as("b"), keyCols)

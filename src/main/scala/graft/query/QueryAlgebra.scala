@@ -96,25 +96,30 @@ object QueryPlanner {
    * cells of the geometry before the exact test (the s2:/a2: token rewrite of
    * search/spatial.go:65-83, realised as an ancestor-cell semi-filter).
    */
+  /** Ancestor-cell pre-prune as scalar comparisons: the ancestor of `cell16`
+    * at level l can only match cover cells OF level l, so the old
+    * arrays_overlap over a per-row built ancestor ARRAY (one GenericArrayData
+    * allocation per row on the serving path) rewrites to an allocation-free
+    * OR of per-level `isin` tests — same rows, pure codegen scalars. */
+  private def coverPrune(cover: Array[Long]): Column =
+    cover.groupBy(c => graft.core.Cells.level(c)).toSeq.sortBy(_._1).map {
+      case (l, cs) =>
+        CellExprs.cell_parent_at(col("cell16"), lit(l)).isin(cs.toSeq: _*)
+    }.reduce(_ || _)
+
   def find(features: DataFrame, q: Query): DataFrame = q match {
     case IntersectsGeom(wkb) =>
       val cover = graft.core.GeoOps.coveringWkb(wkb, 16, 8)
-      val levels = cover.map(c => graft.core.Cells.level(c)).distinct.sorted
-      val anc = array(levels.map(l =>
-        CellExprs.cell_parent_at(col("cell16"), lit(l))): _*)
       features
-        .where(arrays_overlap(anc, typedLit(cover.toSeq)))
+        .where(coverPrune(cover))
         .where(q.toColumn)
     case cap @ IntersectsCap(lat, lng, r) =>
       // cap -> 128-gon covering -> ancestor-cell pre-prune (the s2:/a2: token
       // rewrite of search/spatial.go:65-83), exact haversine refine
       val capGeom = graft.functions.GeoFunctions.capPolygon(lat, lng, r)
       val cover = graft.core.GeoOps.covering(capGeom, 16, 8)
-      val levels = cover.map(c => graft.core.Cells.level(c)).distinct.sorted
-      val anc = array(levels.map(l =>
-        CellExprs.cell_parent_at(col("cell16"), lit(l))): _*)
       features
-        .where(arrays_overlap(anc, typedLit(cover.toSeq)))
+        .where(coverPrune(cover))
         .where(cap.toColumn)
     case q @ IntersectsPolyline(wkb) => geomIntersectsPlan(features, wkb, q.toColumn)
     case q @ IntersectsPolygon(wkb) => geomIntersectsPlan(features, wkb, q.toColumn)

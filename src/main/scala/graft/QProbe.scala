@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 object QProbe {
   def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
   def t(tag: String)(f: => Unit): Unit = {
-    (1 to 3).foreach { i =>
+    (1 to 4).foreach { i =>
       val t0 = System.nanoTime(); f
       println(f"PROBE $tag rep$i ${(System.nanoTime() - t0) / 1e9}%.3f")
     }
@@ -19,60 +19,88 @@ object QProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val e = spark.read.parquet(s"$d/embeddings.parquet")
-    val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-    t("full_lsh") { noop(graft.operators.Ann.cosineLsh(e, q, 5, bits = 5, tables = 16, dimHint = Some(64))) }
+    val sm = udf((i: Long) => graft.model.Fixtures.splitmix64(i))
+    def events = spark.read.parquet(s"$d/events.parquet")
+    def base = events.select(col("event_id").as("image_id"),
+      sm(col("event_id")).as("phash"))
+    def clones = base.where(col("image_id") % 101 === 0)
+      .select((col("image_id") + 10000000L).as("image_id"),
+        col("phash").bitwiseXOR(lit(3L)).as("phash"))
+    def imgs = base.unionByName(clones)
 
-    // manual stages
-    val bp = spark.sparkContext.broadcast(graft.operators.Ann.planes(16, 5, 64))
-    def buckets = udf { (vec: Seq[Float]) =>
-      val pl = bp.value
-      val out = new Array[Long](16)
-      var tt = 0
-      while (tt < 16) {
-        var b = 0L; var p = 0
-        while (p < 5) {
-          val plane = pl(tt * 5 + p)
-          var s = 0.0; var i = 0
-          while (i < 64) { s += vec(i).toDouble * plane(i); i += 1 }
-          if (s > 0) b |= (1L << p)
-          p += 1
+    // warm
+    noop(graft.operators.ImageOps.phashNearDupPairs(imgs, maxHamming = 3)
+      .orderBy("id_a", "id_b"))
+
+    t("phash_full") {
+      noop(graft.operators.ImageOps.phashNearDupPairs(imgs, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"))
+    }
+
+    def sproj = imgs.select(col("image_id").as("__id"), col("phash").as("__sig"))
+    def banded = sproj.select(col("__id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("b"),
+        call_function("shiftrightunsigned", col("__sig"), lit(b * 16))
+          .bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("band"), col("__sig"))
+      .select(col("__id"), col("band.b").as("__bb"), col("band.k").as("__bk"), col("__sig"))
+
+    def candWith = graft.operators.TextOps.bucketCandidatesCarrying(
+      banded, Seq("__bb", "__bk"), 1024, Seq("__sig"))
+    t("cand_observe") { noop(candWith) }
+
+    // identical pipeline minus the observe node
+    locally {
+      import org.apache.spark.sql.types._
+      val np = 32
+      val parted = banded.select(col("__id"), col("__bb"), col("__bk"), col("__sig"))
+        .repartition(np, col("__bb"), col("__bk"))
+        .sortWithinPartitions(col("__bb"), col("__bk"), col("__id"))
+      val outSchema = StructType(Seq(
+        StructField("id_a", LongType, false), StructField("id_b", LongType, false),
+        StructField("__bn", LongType, false),
+        StructField("__sig_a", LongType, false), StructField("__sig_b", LongType, false)))
+      def pairs = parted.mapPartitions { it =>
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+        val sigs = new scala.collection.mutable.ArrayBuffer[Long](64)
+        var curB = -1; var curK = -1L; var started = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        def flush(): Unit = {
+          val n = ids.length
+          if (n > 1) {
+            var i = 0
+            while (i < n) { var j = i + 1; while (j < n) {
+              out += org.apache.spark.sql.Row(ids(i), ids(j), 0L, sigs(i), sigs(j)); j += 1 }; i += 1 }
+          }
+          ids.clear(); sigs.clear()
         }
-        out(tt) = b; tt += 1
+        new Iterator[org.apache.spark.sql.Row] {
+          private def fill(): Unit = {
+            while (out.isEmpty && (it.hasNext || started)) {
+              if (it.hasNext) {
+                val r = it.next()
+                val b = r.getInt(1); val k = r.getLong(2)
+                if (!started || b != curB || k != curK) {
+                  if (started) flush()
+                  curB = b; curK = k; started = true
+                }
+                ids += r.getLong(0); sigs += r.getLong(3)
+              } else { flush(); started = false }
+            }
+          }
+          def hasNext: Boolean = { fill(); out.nonEmpty }
+          def next(): org.apache.spark.sql.Row = { fill(); out.remove(out.length - 1) }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      t("cand_noobserve") {
+        noop(pairs.where(col("__bn") === 0).drop("__bn").dropDuplicates("id_a", "id_b"))
       }
-      out
-    }
-    val dSide = e.repartition(32).withColumn("__bs", buckets(col("embedding")))
-      .select(col("*"), posexplode(col("__bs")).as(Seq("__t", "__bucket"))).drop("__bs")
-    val qSide = q.withColumn("__bs", buckets(col("qvec")))
-      .select(col("*"), posexplode(col("__bs")).as(Seq("__t", "__bucket"))).drop("__bs")
-
-    t("scan_only") { noop(e) }
-    t("scan_repart") { noop(e.repartition(32)) }
-    t("scan_udf") { noop(e.withColumn("__bs", buckets(col("embedding")))) }
-    t("scan_repart_udf") { noop(e.repartition(32).withColumn("__bs", buckets(col("embedding")))) }
-    t("scan_udf_explode") { noop(e.withColumn("__bs", buckets(col("embedding"))).select(col("*"), posexplode(col("__bs")).as(Seq("__t", "__bucket"))).drop("__bs")) }
-    t("d_side_only") { noop(dSide) }
-    val joined = dSide.join(broadcast(qSide), Seq("__t", "__bucket"))
-      .where(col("vec_id") =!= col("qid"))
-    t("join_only") { noop(joined) }
-    val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var s = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        s += x * y; na += x * x; nb += y * y
-        i += 1
+      t("cand_nodedup") {
+        noop(pairs.where(col("__bn") === 0).drop("__bn"))
       }
-      s / (math.sqrt(na) * math.sqrt(nb))
+      t("parted_only") { noop(parted) }
     }
-    val scored = joined.withColumn("cosine", cosineUdf(col("embedding"), col("qvec")))
-    t("scored") { noop(scored) }
-    val grouped = scored.groupBy(col("qid"), col("vec_id")).agg(max(col("cosine")).as("cosine"))
-    t("grouped") { noop(grouped) }
     spark.stop()
   }
 }

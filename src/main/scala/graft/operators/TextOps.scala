@@ -215,33 +215,201 @@ object TextOps {
    * exactly how much pairwise coverage was traded for boundedness.
    */
   private[graft] def bucketCandidates(banded: DataFrame, keyCols: Seq[String],
-                                      maxBucketSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wb = Window.partitionBy(keyCols.map(col): _*)
-    // lazily checkpointed: the small/big split and both join branches below
-    // otherwise recompute the banding + window up to four times (plan-probed
-    // in r6 — four ~equal AQE stage jobs per call, no cross-branch exchange
-    // reuse). localCheckpoint truncates the lineage so all four branches read
-    // the materialized (ids-only) blocks, keeps the AQE-coalesced
-    // partitioning, and — unlike persist, which pinned the pre-AQE layout and
-    // measured SLOWER — is freed by the ContextCleaner when unreferenced.
-    val sized = banded.withColumn("__bn", count(lit(1)).over(wb))
-      .localCheckpoint(eager = false)
-    val small = sized.where(col("__bn") <= maxBucketSize).drop("__bn")
-    val big = sized.where(col("__bn") > maxBucketSize)
-    val smallPairs = small.as("a").join(small.as("b"), keyCols)
-      .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-    val reps = big.groupBy(keyCols.map(col): _*)
-      .agg(min(col("__id")).as("__rep"), max(col("__bn")).as("__n"))
+                                      maxBucketSize: Int): DataFrame =
+    bucketCandidatesCarrying(banded, keyCols, maxBucketSize, Nil)
+
+  /**
+   * [[bucketCandidates]] that additionally CARRIES per-member payload columns
+   * through the single shuffle and emits them per endpoint (`<p>_a`/`<p>_b`),
+   * so callers with byte-sized payloads (a 64-bit signature, a short caption)
+   * skip both re-attach joins AND the two extra input derivations they imply.
+   * Use the plain ids-only variant when payloads are heavy (shingle sets,
+   * embedding vectors): carrying those would multiply the band shuffle by the
+   * payload width (guide §2.3 — shuffle keys and metadata, not payloads).
+   */
+  private[graft] def bucketCandidatesCarrying(banded: DataFrame, keyCols: Seq[String],
+                                              maxBucketSize: Int,
+                                              payloadCols: Seq[String],
+                                              keep: Option[(Array[Any], Array[Any]) => Boolean] = None): DataFrame = {
+    // ONE shuffle of (id, key [, payload]) rows, one ordered pass (guide
+    // §2.4): hash-repartition on the bucket key, sort within partitions on
+    // (key..., __id), then a single mapPartitions walks each bucket in id
+    // order and emits the pairwise set (buckets <= maxBucketSize) or a
+    // representative star (degenerate buckets) STREAMING — the buffer never
+    // holds more than maxBucketSize+1 members, so one 10^9-member degenerate
+    // bucket costs O(cap) memory, not the whole bucket (the previous
+    // window-count + self-join shape shuffled the banded table three times
+    // and buffered whole buckets in the window sort; plan-probed at 3
+    // Exchanges + a checkpoint job vs 1 Exchange now).
+    // Degradation metrics stay observe()d: star mode emits one in-band marker
+    // row (id_a = id_b = rep, __bn = bucket size) per degraded bucket, the
+    // CollectMetrics node aggregates markers BEFORE they are filtered out —
+    // same degraded_buckets / forgone_pairs values as the old reps aggregate.
+    // `keep` is the caller's exact per-pair verification predicate over the
+    // two payload arrays (e.g. popcount(sig_a ^ sig_b) <= maxHamming),
+    // applied INSIDE the pair loop: with 16-bit bands the pre-verify
+    // candidate volume is ~n²/65536 per band (measured ~10M rows at sf0.1,
+    // of which ~37k survive), so verifying before the row even materializes
+    // removes ~99.6% of the dedup shuffle and the row-encoder work.
+    // Set-equivalent to filtering after: the predicate is a deterministic
+    // per-pair function of carried payloads. Star MARKER rows are never
+    // filtered (metrics must see every degraded bucket).
+    val spark = banded.sparkSession
+    val np = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val cap = maxBucketSize
+    val nKeys = keyCols.length
+    val nPay = payloadCols.length
+    val keepFn = keep.orNull
+    val parted = banded
+      .select((col("__id") +: keyCols.map(col)) ++ payloadCols.map(col): _*)
+      .repartition(np, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols.map(col) :+ col("__id")): _*)
+    val paySchema = payloadCols.map(p => parted.schema(parted.schema.fieldIndex(p)))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__bn",
+        org.apache.spark.sql.types.LongType, nullable = false)) ++
+      paySchema.map(f => f.copy(name = s"${f.name}_a")) ++
+      paySchema.map(f => f.copy(name = s"${f.name}_b")))
+    val pairRows = parted.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        // states: CONSUME (filling buf for the current bucket),
+        // EMIT_SMALL (pair cursor i<j over buf), STAR (bucket overflowed cap:
+        // members stream out as (rep, id) immediately; marker row on close)
+        private val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+        private val pays =
+          if (nPay > 0) new scala.collection.mutable.ArrayBuffer[Array[Any]](64) else null
+        private val curKey = new Array[Any](nKeys)
+        private var inBucket = false
+        private var star = false
+        private var starN = 0L
+        private var rep = 0L
+        private var repPay: Array[Any] = null
+        private var emitI = 0
+        private var emitJ = 0
+        private var emitting = false
+        private var pendingRow: org.apache.spark.sql.Row = null
+        private var out: org.apache.spark.sql.Row = null
+
+        private def payOf(r: org.apache.spark.sql.Row): Array[Any] = {
+          val a = new Array[Any](nPay)
+          var i = 0
+          while (i < nPay) { a(i) = r.get(1 + nKeys + i); i += 1 }
+          a
+        }
+        private def mk(idA: Long, idB: Long, bn: Long,
+                       pA: Array[Any], pB: Array[Any]): org.apache.spark.sql.Row = {
+          val vals = new Array[Any](3 + 2 * nPay)
+          vals(0) = idA; vals(1) = idB; vals(2) = bn
+          var i = 0
+          while (i < nPay) { vals(3 + i) = pA(i); vals(3 + nPay + i) = pB(i); i += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+        }
+        private val noPay = new Array[Any](0)
+        private def payAt(i: Int): Array[Any] = if (nPay > 0) pays(i) else noPay
+        private def add(r: org.apache.spark.sql.Row): Unit = {
+          ids += r.getLong(0)
+          if (nPay > 0) pays += payOf(r)
+        }
+        private def clearBuf(): Unit = { ids.clear(); if (nPay > 0) pays.clear() }
+        private def sameKey(r: org.apache.spark.sql.Row): Boolean = {
+          var i = 0
+          while (i < nKeys) { if (r.get(i + 1) != curKey(i)) return false; i += 1 }
+          true
+        }
+        private def loadKey(r: org.apache.spark.sql.Row): Unit = {
+          var i = 0
+          while (i < nKeys) { curKey(i) = r.get(i + 1); i += 1 }
+        }
+        /** Close the current bucket: arm the pair cursor (small) or produce
+          * the star marker row (degenerate). */
+        private def closeBucket(): Unit = {
+          if (star) {
+            out = mk(rep, rep, starN, repPay, repPay)
+            star = false; starN = 0L
+          } else if (ids.length > 1) {
+            emitting = true; emitI = 0; emitJ = 1
+          }
+          inBucket = false
+          if (!emitting) clearBuf()
+        }
+        private def advance(): Unit = {
+          while (out == null) {
+            if (emitting) {
+              if (emitI == -1) {
+                // star-drain: the buffered tail flows out as (rep, member)
+                if (emitJ < ids.length) {
+                  val j = emitJ; emitJ += 1
+                  if (ids(j) != rep &&
+                      (keepFn == null || keepFn(repPay, payAt(j))))
+                    out = mk(rep, ids(j), 0L, repPay, payAt(j))
+                } else { emitting = false; clearBuf() }
+              } else {
+                // strict i<j over the ascending-sorted ids; equal ids (callers
+                // never produce them, but be safe) skip like the old a<b filter
+                if (ids(emitI) != ids(emitJ) &&
+                    (keepFn == null || keepFn(payAt(emitI), payAt(emitJ))))
+                  out = mk(ids(emitI), ids(emitJ), 0L, payAt(emitI), payAt(emitJ))
+                emitJ += 1
+                if (emitJ >= ids.length) { emitI += 1; emitJ = emitI + 1 }
+                if (emitI >= ids.length - 1) { emitting = false; clearBuf() }
+              }
+            } else if (pendingRow != null) {
+              val r = pendingRow; pendingRow = null
+              loadKey(r); inBucket = true
+              add(r)
+            } else if (it.hasNext) {
+              val r = it.next()
+              if (!inBucket) {
+                loadKey(r); inBucket = true
+                add(r)
+              } else if (sameKey(r)) {
+                if (star) {
+                  val id = r.getLong(0)
+                  starN += 1
+                  if (id != rep) {
+                    val p = payOf(r)
+                    if (keepFn == null || keepFn(repPay, p))
+                      out = mk(rep, id, 0L, repPay, p)
+                  }
+                } else {
+                  add(r)
+                  if (ids.length > cap) {
+                    // overflow: degrade to a star — drain the buffered tail
+                    // through the pending emitter as (rep, member) rows
+                    star = true; rep = ids.head
+                    repPay = payAt(0)
+                    starN = ids.length.toLong
+                    emitting = true; emitI = -1; emitJ = 1 // star-drain mode
+                  }
+                }
+              } else {
+                pendingRow = r
+                closeBucket()
+              }
+            } else if (inBucket) {
+              closeBucket()
+            } else return
+          }
+        }
+        def hasNext: Boolean = { if (out == null) advance(); out != null }
+        def next(): org.apache.spark.sql.Row = {
+          if (out == null) advance()
+          val r = out; out = null; r
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    pairRows
       .observe(s"${BucketStarMetricPrefix}_${bucketMetricSeq.getAndIncrement()}",
-        count(lit(1)).as("degraded_buckets"),
-        coalesce(sum((col("__n") - 1) * (col("__n") - 2) / 2), lit(0.0))
+        coalesce(sum(when(col("__bn") > 0, 1L)), lit(0L)).as("degraded_buckets"),
+        coalesce(sum(when(col("__bn") > 0,
+          (col("__bn") - 1) * (col("__bn") - 2) / 2)), lit(0.0))
           .cast("long").as("forgone_pairs"))
-    val starPairs = big.drop("__bn").join(reps.drop("__n"), keyCols)
-      .where(col("__id") =!= col("__rep"))
-      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
-    smallPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+      .where(col("__bn") === 0).drop("__bn")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Sum of the star-degradation metrics observed by the LAST action on `df`
@@ -342,28 +510,39 @@ object TextOps {
                      maxHamming: Int = 3, maxBucketSize: Int = 1024,
                      carry: Seq[String] = Nil): DataFrame = {
     require(maxHamming <= 3, "4x16 banding guarantees recall only to Hamming 3")
-    // referenced three times (banding + both id re-attach joins) — persist the
-    // narrow (id, sig [, carry...]) projection once instead of re-deriving the
-    // input. `carry` columns ride the SAME two re-attach joins as the
-    // signature (as <col>_a / <col>_b) so callers that need per-endpoint
-    // payloads (e.g. captions for the conflict report) don't pay two more
-    // joins against the input.
+    // The 8-byte signature (and any small carry columns: a caption, a label)
+    // CARRY through the band shuffle and come back per endpoint directly from
+    // the bucket pass — the input is scanned exactly ONCE and there are no
+    // re-attach joins (the previous shape derived the input three times and
+    // paid two joins; guide §8's rule applies in reverse: when the payload is
+    // a few bytes, carrying it beats re-attaching it).
+    // the signature projection is persisted: signature derivation is the
+    // expensive upstream (simhash/phash UDFs over text/pixels) and the
+    // operator's consumers re-run actions over this lineage (cluster loops,
+    // reports) — the cached (id, sig [, carry]) table is the "index build"
+    // artifact they share
     val s = sig.select(col(idCol).as("__id") +: col(sigCol).as("__sig") +:
         carry.map(col): _*)
       .transform(org.apache.spark.sql.graft.PersistOnce(_))
-    val banded = s.select(col("__id"), explode(
-      transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("b"),
-          call_function("shiftrightunsigned", col("__sig"), b.cast("int") * 16)
-            .bitwiseAND(lit(0xffffL)).as("k")))).as("band"))
-      .select(col("__id"), col("band.b").as("__bb"), col("band.k").as("__bk"))
-    val cand = bucketCandidates(banded, Seq("__bb", "__bk"), maxBucketSize)
-    cand
-      .join(s.select(col("__id").as("id_a") +: col("__sig").as("sig_a") +:
-        carry.map(c => col(c).as(s"${c}_a")): _*), "id_a")
-      .join(s.select(col("__id").as("id_b") +: col("__sig").as("sig_b") +:
-        carry.map(c => col(c).as(s"${c}_b")): _*), "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    // literal 4-element array (whole-stage codegen) — transform(sequence(...))
+    // is an interpreted higher-order function on the hot scan (the CLAUDE.md
+    // HOF trap; measured 0.36 s -> 0.19 s for the banding pass at sf0.1)
+    val banded = s.select(col("__id") +: explode(array(
+      (0 until 4).map(b => struct(lit(b).as("b"),
+        call_function("shiftrightunsigned", col("__sig"), lit(b * 16))
+          .bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("band") +:
+        col("__sig") +: carry.map(col): _*)
+      .select(col("__id") +: col("band.b").as("__bb") +: col("band.k").as("__bk") +:
+        col("__sig") +: carry.map(col): _*)
+    // the exact popcount verify runs INSIDE the pair loop (keep): candidates
+    // that fail Hamming never materialize as rows, so the dedup shuffle sees
+    // only true near-dup pairs (~0.4% of candidates at sf0.1)
+    val maxH = maxHamming
+    val keep = (a: Array[Any], b: Array[Any]) =>
+      java.lang.Long.bitCount(a(0).asInstanceOf[Long] ^ b(0).asInstanceOf[Long]) <= maxH
+    bucketCandidatesCarrying(banded, Seq("__bb", "__bk"), maxBucketSize,
+        "__sig" +: carry, keep = Some(keep))
+      .withColumn("hamming", bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a") +: col("id_b") +: col("hamming") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)

@@ -61,7 +61,15 @@ object Aggs {
     // shuffle parallelism instead of a constant
     val np = if (numParts > 0) numParts
       else math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val parts = counts.repartitionByRange(np, order: _*)
+    // persist the aggregated distinct set BEFORE the range partition:
+    // repartitionByRange runs a hidden SAMPLING job over its input, which
+    // otherwise re-executes the full input aggregation a second time — with
+    // the cache the sampling pass fills it and the range exchange (and the
+    // final pass below) read back the distinct set, one full input scan
+    // total. The distinct set is <= the input by construction, so this is
+    // also the cheaper cache at any scale.
+    val aggd = counts.transform(org.apache.spark.sql.graft.PersistOnce(_))
+    val parts = aggd.repartitionByRange(np, order: _*)
       .withColumn("__pid", spark_partition_id())
       .transform(org.apache.spark.sql.graft.PersistOnce(_))
     val perPart = parts.groupBy("__pid")

@@ -225,33 +225,73 @@ object Mvt {
         explode(graft.functions.CellExprs.tile_cover(col(geomCol), lit(zoom)))))
       .select(col("__tile"), col(fidCol).as("fid"), col(layerCol).as("layer"),
         col(geomCol).as("geom"), col(tagsCol).as("tags"), rankCol.cast("int").as("srank"))
+    // ONE tile-keyed shuffle + an ordered streaming pass (guide §2.4):
+    // hash-repartition on the tile, sort within partitions on
+    // (tile, layer, srank, fid), then cap + encode in a single mapPartitions.
     // encodeTile keeps only the first MaxFeaturesPerTile of each (tile,
-    // layer) in (srank, fid) order — enforce that cap BEFORE the per-tile
-    // mapGroups with a salted two-stage rank, so a low-zoom tile never
-    // funnels an uncapped sort through one task (same discipline as
-    // Renderers.renderCapped; output bytes identical because the kept set
-    // is exactly what encodeTile would keep)
-    import org.apache.spark.sql.expressions.Window
-    val salts = spark.sessionState.conf.numShufflePartitions
-    val wLocal = Window
-      .partitionBy(col("__tile"), col("layer"), pmod(hash(col("fid")), lit(salts)))
-      .orderBy(col("srank"), col("fid"))
-    val wLayer = Window.partitionBy(col("__tile"), col("layer"))
-      .orderBy(col("srank"), col("fid"))
-    val assigned = covered
-      .withColumn("__lrank", row_number().over(wLocal))
-      .where(col("__lrank") <= MaxFeaturesPerTile)
-      .withColumn("__rank", row_number().over(wLayer))
-      .where(col("__rank") <= MaxFeaturesPerTile)
-      .select(col("__tile"), col("fid"), col("layer"), col("geom"), col("tags"), col("srank"))
-      .as[(Long, Long, String, Array[Byte], Map[String, String], Int)]
-    assigned.groupByKey(_._1)
-      .mapGroups { (tileId, rows) =>
-        val z = GeoOps.tileIdZ(tileId)
-        val tx = GeoOps.tileIdX(tileId)
-        val ty = GeoOps.tileIdY(tileId)
-        val fs = rows.map(r => TileFeature(r._2, r._3, r._4, r._5, r._6)).toSeq
-        (z, tx, ty, encodeTile(z, tx, ty, fs, rank))
-      }.toDF("z", "x", "y", "mvt")
+    // layer) in (srank, fid) order, which is exactly the first cap rows of
+    // each (tile, layer) group in this sort — so the kept set (and the
+    // encoded bytes, encodeTile canonicalises layer order internally) is
+    // identical to the previous two-Window + groupByKey plan, which paid
+    // THREE Exchanges (salted local rank, layer rank, groupByKey) where this
+    // pays one. Per-task memory stays bounded at cap x #layers features per
+    // tile — the same bound the old post-cap mapGroups had — and an uncapped
+    // hot tile streams through the sort's spillable buffer, never the heap.
+    val np = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mvt",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rankB = rank
+    covered
+      .repartition(np, col("__tile"))
+      .sortWithinPartitions(col("__tile"), col("layer"), col("srank"), col("fid"))
+      .mapPartitions { it =>
+        new Iterator[org.apache.spark.sql.Row] {
+          private var curTile = 0L
+          private var haveTile = false
+          private var curLayer: String = null
+          private var layerKept = 0
+          private val fs = scala.collection.mutable.ArrayBuffer.empty[TileFeature]
+          private var out: org.apache.spark.sql.Row = null
+          private def close(): org.apache.spark.sql.Row = {
+            val z = GeoOps.tileIdZ(curTile)
+            val tx = GeoOps.tileIdX(curTile)
+            val ty = GeoOps.tileIdY(curTile)
+            val row = org.apache.spark.sql.Row(z, tx, ty,
+              encodeTile(z, tx, ty, fs.toSeq, rankB))
+            fs.clear(); curLayer = null; layerKept = 0
+            row
+          }
+          private def advance(): Unit = {
+            while (out == null && (it.hasNext || haveTile)) {
+              if (it.hasNext) {
+                val r = it.next()
+                val tile = r.getLong(0)
+                if (!haveTile) { haveTile = true; curTile = tile }
+                else if (tile != curTile) { out = close(); curTile = tile }
+                val layer = r.getString(2)
+                if (layer != curLayer) { curLayer = layer; layerKept = 0 }
+                if (layerKept < MaxFeaturesPerTile) {
+                  layerKept += 1
+                  fs += TileFeature(r.getLong(1), layer, r.getAs[Array[Byte]](3),
+                    Option(r.getAs[scala.collection.Map[String, String]](4))
+                      .map(_.toMap).getOrElse(Map.empty), r.getInt(5))
+                }
+              } else { out = close(); haveTile = false }
+            }
+          }
+          def hasNext: Boolean = { if (out == null) advance(); out != null }
+          def next(): org.apache.spark.sql.Row = {
+            if (out == null) advance()
+            val r = out; out = null; r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

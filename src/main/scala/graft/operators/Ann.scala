@@ -41,10 +41,17 @@ object Ann {
     * the query onto one core (plan-probed: ann_lsh spent 1.26 s in a 1-task
     * stage). At corpus scale the scan already has plenty of splits and this
     * is a no-op — the condition keeps the extra exchange off the 10^12-row
-    * path (guide §2.2: partition count adapts to input, not a constant). */
+    * path (guide §2.2: partition count adapts to input, not a constant).
+    * Size gate: the repartition only pays when each resulting partition
+    * carries enough scoring work to beat the exchange's fixed cost — require
+    * >=256 KB/partition by the optimizer's size estimate, otherwise a single
+    * scan task finishes faster than the shuffle sets up (measured: a 780 KB
+    * vector table repartitioned 1->32 cost ann_topk +0.4 s for nothing). */
   private def parallelized(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions * 2 < parts) df.repartition(parts) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= parts.toLong * 256L * 1024L &&
+      df.rdd.getNumPartitions * 2 < parts) df.repartition(parts) else df
   }
 
   /** Exact cosine as ONE tight-loop UDF (the aggregate(zip_with(..)) HOF
